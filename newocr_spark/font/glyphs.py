@@ -1,0 +1,267 @@
+"""SparkGrid — a deterministic procedural bitmap font.
+
+The engine's fixtures are rendered with our own font (SURVEY §7 risk
+register: goldens come from our deterministic renderer + the reference's
+algorithm semantics — Java AWT antialiased rendering is not reproducible
+here and PIL is absent). Design goals:
+
+  * every character except the reference's multi-part set is a single
+    8-connected component; the multi-part set (! " % : ; = ? i j) has
+    exactly the piece structure the reference trains
+    (recognition/similarity/Letter.java:16-120, OCRActions.java:85-189);
+  * piece geometry fixes the trained distance ratios (distancei,
+    colonDistance, …) so the merge-rule gates (tolerance 0.5/0.75 —
+    mergence/rules/*.java) accept true merges and reject cross-line
+    false positives at any integer scale;
+  * the bulk alphabet uses unique stroke-combination bitmaps
+    (16-segment-display style) so 17-segment feature vectors are
+    well-separated for NN matching.
+
+Design cell: 16 rows tall; glyph widths vary. A glyph bitmap is a full
+16-row canvas (multi-part pieces embedded with their gaps). Rendering at
+"pt" size 12·k is exact integer upscaling by k (np.kron), so all trained
+height/gap ratios are scale-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CELL_HEIGHT = 16
+TRACKING = 2          # blank columns between glyphs
+SPACE_WIDTH = 5       # advance of ' ' is SPACE_WIDTH + TRACKING
+LINE_GAP = 6          # blank rows between text lines (> merge-gate reach)
+MARGIN_LEFT = 2       # small enough that no leading space is inferred
+PT_PER_CELL = 12      # "pt size" 12*k renders at integer scale k
+
+
+def pt_to_scale(pt: int) -> int:
+    return max(1, round(pt / PT_PER_CELL))
+
+
+def _from_rows(rows: list[str]) -> np.ndarray:
+    """'#'=black spec → (16, w) bool canvas (rows may be < 16, top-aligned)."""
+    w = max(len(r) for r in rows)
+    g = np.zeros((CELL_HEIGHT, w), dtype=bool)
+    for y, r in enumerate(rows):
+        for x, ch in enumerate(r):
+            if ch == "#":
+                g[y, x] = True
+    return g
+
+
+def _rect(y0: int, y1: int, w: int) -> np.ndarray:
+    g = np.zeros((CELL_HEIGHT, w), dtype=bool)
+    g[y0 : y1 + 1, :] = True
+    return g
+
+
+# ---------------------------------------------------------------------------
+# hand-designed structural glyphs (heights/gaps are load-bearing: they fix
+# the trained metadata ratios — see module docstring)
+# ---------------------------------------------------------------------------
+
+_H: dict[str, np.ndarray] = {}
+
+_H["."] = _rect(13, 15, 3)                       # 3x3 dot, bottom
+_H["'"] = _rect(0, 4, 2)                         # 2x5 bar, top
+_H["|"] = _rect(0, 15, 2)                        # 2x16 bar
+_H["-"] = _rect(8, 9, 5)                         # 5x2 bar, middle
+_H["_"] = _rect(14, 15, 10)                      # 10x2 bar, bottom
+
+_H[","] = _from_rows([""] * 11 + ["###", "###", ".##", ".#", "#"])  # 3x5 comma
+_H["l"] = _from_rows(["##"] * 14 + ["####", "####"])                # stem + foot
+
+_H['"'] = _from_rows(["##..##"] * 5)             # two 2x5 bars, gap 2
+# '!': 3x11 bar + 3x3 dot, gap 2 → distanceExclamation = 2/11
+_H["!"] = _from_rows(["###"] * 11 + ["", ""] + ["###"] * 3)
+# '?': distinctive curve (h11) + 3x3 dot, gap 2 → distanceQuestion = 2/11
+_H["?"] = _from_rows(
+    ["#####", "#...#", "....#", "....#", "...##", "..##", "..#", "..#", "..#",
+     "..##", "..##", "", "", "..###", "..###", "..###"]
+)
+# 'i': 3x3 dot (rows 2-4) + 3x9 stem (rows 7-15), gap 2 → distancei = 2/9
+_H["i"] = _from_rows(["", "", "###", "###", "###", "", ""] + ["###"] * 9)
+# 'j': 3x3 dot + hook (rows 7-15, h9), gap 2 → distancej = 2/9
+_H["j"] = _from_rows(
+    ["", "", "..###", "..###", "..###", "", ""]
+    + ["..###"] * 6 + ["..###", "####", "###"]
+)
+# ':': two 3x3 dots rows 5-7 / 11-13, gap 3 → colonDistance = 3/3 = 1.0
+_H[":"] = _from_rows([""] * 5 + ["###"] * 3 + ["", "", ""] + ["###"] * 3)
+# ';': 3x3 dot rows 5-7 + comma rows 11-15 (h5), gap 3 → semicolonDistance = 3/5
+_H[";"] = _from_rows(
+    [""] * 5 + ["###"] * 3 + ["", "", ""] + ["###", "###", ".##", ".#", "#"]
+)
+# '=': two 6x2 bars rows 6-7 / 10-11, gap 2 → equalsDistance = 2/2 = 1.0
+_H["="] = _from_rows([""] * 6 + ["######"] * 2 + ["", ""] + ["######"] * 2)
+
+_H["`"] = _from_rows(["##", ".##", "..##", "...#"])  # h4 diagonal tick
+
+
+def _slash(w: int = 8) -> np.ndarray:
+    """2px diagonal bottom-left → top-right, 8-connected."""
+    g = np.zeros((CELL_HEIGHT, w), dtype=bool)
+    for y in range(CELL_HEIGHT):
+        x = round((CELL_HEIGHT - 1 - y) * (w - 2) / (CELL_HEIGHT - 1))
+        g[y, x : x + 2] = True
+    return g
+
+
+_H["/"] = _slash()
+
+# '%': 5x5 ring (rows 0-4, x0-4) + piecewise slash + 5x5 ring (rows 11-15,
+# x4-8). The rings x-overlap each other (col 4) and the slash, so training's
+# anchored X-overlap grouping collects all three pieces
+# (OCRActions.java:143-146); the slash keeps a >=1-pixel moat from both
+# rings so the three stay separate 8-connected components.
+_ring = np.zeros((5, 5), dtype=bool)
+_ring[0, :] = _ring[4, :] = _ring[:, 0] = _ring[:, 4] = True
+_ring[1, 1] = _ring[1, 3] = _ring[3, 1] = _ring[3, 3] = True
+_pc = np.zeros((CELL_HEIGHT, 9), dtype=bool)
+_pc[0:5, 0:5] |= _ring          # left ring (trained mod 0 at scan order)
+_pc[11:16, 4:9] |= _ring        # right ring
+_slash_cols = (6, 6, 6, 6, 6, 6, 5, 4, 3, 2, 1, 1, 1, 1, 1, 1)
+for _y, _x in enumerate(_slash_cols):
+    _pc[_y, _x : _x + 2] = True
+_H["%"] = _pc
+
+_H["\\"] = _H["/"][:, ::-1].copy()
+
+# ---------------------------------------------------------------------------
+# procedural stroke-combination glyphs for everything else
+# ---------------------------------------------------------------------------
+
+# stroke ids for a (h, w) box with a mandatory full middle band (connectivity):
+#   0 top band, 1 bottom band, 2 left-upper, 3 left-lower,
+#   4 right-upper, 5 right-lower, 6 center-upper, 7 center-lower
+
+
+def _stroke_glyph(h: int, w: int, combo: int) -> np.ndarray:
+    g = np.zeros((h, w), dtype=bool)
+    mid0 = (h - 2) // 2
+    g[mid0 : mid0 + 2, :] = True  # mandatory middle band
+    t = 2  # stroke thickness
+    cx = (w - t) // 2
+    if combo & 1:
+        g[0:t, :] = True
+    if combo & 2:
+        g[h - t :, :] = True
+    if combo & 4:
+        g[0 : mid0 + 2, 0:t] = True
+    if combo & 8:
+        g[mid0:, 0:t] = True
+    if combo & 16:
+        g[0 : mid0 + 2, w - t :] = True
+    if combo & 32:
+        g[mid0:, w - t :] = True
+    if combo & 64:
+        g[0 : mid0 + 2, cx : cx + t] = True
+    if combo & 128:
+        g[mid0:, cx : cx + t] = True
+    return g
+
+
+def _embed(box: np.ndarray, row_offset: int) -> np.ndarray:
+    g = np.zeros((CELL_HEIGHT, box.shape[1]), dtype=bool)
+    g[row_offset : row_offset + box.shape[0], :] = box
+    return g
+
+
+# combos with >=2 strokes. Connectivity: the middle band is always present
+# and touches every vertical stroke; a top band additionally needs an upper
+# vertical, a bottom band a lower vertical.
+def _connected_combo(c: int) -> bool:
+    if c & 1 and not c & (4 | 16 | 64):
+        return False
+    if c & 2 and not c & (8 | 32 | 128):
+        return False
+    return True
+
+
+_QUALIFYING = [
+    c for c in range(256) if bin(c).count("1") >= 2 and _connected_combo(c)
+]
+
+_FULL = "#$&()*+0123456789<>@ABCDEFGHIJKLMNOPQRSTUVWXYZ[]^{}~"
+_LOW = "abcdefghkmnopqrstuvwxyz"
+
+# NN safety margin: a trained class's per-scale feature vectors drift around
+# the class mean (integer thirds/halves shift with scale), so combos are
+# admitted greedily only if, at every scale, the distance to every other
+# admitted class mean exceeds MARGIN x the distance to their own mean
+# (+ the reference's sizeRatioWeight=4 aspect penalty, OCRActions.java:248-258)
+_SCALES = range(1, 9)
+_MARGIN = 2.0
+_MIN_SEP = 0.05
+
+
+def _class_stats(canvas: np.ndarray):
+    """Per-scale feature vectors + mean + bbox ratio for one glyph piece."""
+    from ..kernel.features import featurize
+
+    ys, xs = np.nonzero(canvas)
+    piece = canvas[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    vecs = np.stack(
+        [featurize(np.kron(piece, np.ones((k, k), dtype=bool))) for k in _SCALES]
+    )
+    ratio = piece.shape[1] / piece.shape[0]
+    return vecs, vecs.mean(axis=0), ratio
+
+
+def _hand_pieces() -> list[tuple[np.ndarray, np.ndarray, float]]:
+    """Every connected piece of every hand glyph is its own trained class."""
+    from ..kernel.ccl import connected_components
+
+    stats = []
+    for g in _H.values():
+        for comp in connected_components(g):
+            stats.append(_class_stats(comp.grid))
+    return stats
+
+
+def _admissible(cand, selected) -> bool:
+    vecs, mean, ratio = cand
+    for ovecs, omean, oratio in selected:
+        rpen = 4.0 * (oratio - ratio) ** 2
+        own = ((vecs - mean) ** 2).sum(axis=1)
+        other = ((vecs - omean) ** 2).sum(axis=1) + rpen
+        if not ((other > _MARGIN * own + _MIN_SEP).all()):
+            return False
+        o_own = ((ovecs - omean) ** 2).sum(axis=1)
+        o_other = ((ovecs - mean) ** 2).sum(axis=1) + rpen
+        if not ((o_other > _MARGIN * o_own + _MIN_SEP).all()):
+            return False
+    return True
+
+
+def _select_glyphs() -> dict[str, np.ndarray]:
+    selected = _hand_pieces()
+    glyphs = dict(_H)
+
+    def fill(chars: str, h: int, w: int, offset: int) -> None:
+        idx = 0
+        for ch in chars:
+            while True:
+                if idx >= len(_QUALIFYING):
+                    raise AssertionError(
+                        f"stroke-combo pool exhausted at {ch!r}; widen strokes"
+                    )
+                combo = _QUALIFYING[(idx * 53) % len(_QUALIFYING)]
+                idx += 1
+                box = _stroke_glyph(h, w, combo)
+                canvas = _embed(box, offset)
+                cand = _class_stats(canvas)
+                if _admissible(cand, selected):
+                    selected.append(cand)
+                    glyphs[ch] = canvas
+                    break
+
+    fill(_FULL, 16, 8, 0)
+    fill(_LOW, 11, 7, 5)
+    return glyphs
+
+
+GLYPHS: dict[str, np.ndarray] = _select_glyphs()
+
+assert len(GLYPHS) == 95 - 1, f"expected 94 printable glyphs, got {len(GLYPHS)}"

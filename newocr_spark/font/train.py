@@ -1,0 +1,230 @@
+"""Offline trainer: train image → FontModel tables.
+
+Faithful re-expression of OCRTrain.trainImage + OCRActions.
+getLettersDuringTraining (recognition/OCRTrain.java:97-261,
+recognition/OCRActions.java:85-189). Runs driver-local — the corpus is a
+handful of rendered lines, not a cluster job (SURVEY §3.2); Spark only
+broadcasts the resulting tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernel.ccl import Component, connected_components
+from ..kernel.features import featurize
+from ..kernel.grid import binarize, rows_populated
+from ..kernel.lines import line_bounds
+from ..letters import LETTERS
+from ..model import FontConfig, FontModel
+from .render import RAW_STRING, TRAIN_STRING, TRAIN_SCALES, render_train_image
+
+# indices into the X-sorted per-line component list whose TRAIN_STRING chars
+# need multi-part grouping (OCRActions.java:134) — ! % : ; = ? i j
+_MULTIPLE_PARTS = (0, 7, 29, 31, 34, 37, 80, 82)
+
+_CHAR_META = {
+    ";": "semicolonDistance",
+    ":": "colonDistance",
+    "=": "equalsDistance",
+    "i": "distancei",
+    "j": "distancej",
+}
+# 'the base is the second character (bottom part)' (OCRActions.java:97-99)
+_BASE_IS_SECOND = frozenset("ij:;=")
+
+_META_NAMES = (
+    "distanceAbove", "distancei", "distancej", "colonDistance",
+    "semicolonDistance", "equalsDistance", "distanceQuestion",
+    "distanceExclamation",
+)
+
+
+def _overlap_x(a: Component, b: Component) -> bool:
+    return a.x + a.width > b.x and b.x + b.width > a.x
+
+
+def _letters_during_training(grid: np.ndarray, config: FontConfig) -> list[tuple[int, int, list[Component]]]:
+    """→ [(topY, bottomY, X-sorted components with modifiers/meta assigned)]."""
+    bounds = line_bounds(rows_populated(grid), config.max_percent_diff_to_merge)
+    out = []
+    for from_y, to_y in bounds:
+        sub = grid[from_y:to_y, :]
+        found = connected_components(sub)
+        for c in found:
+            c.y += from_y  # SearchCharacter(coords, 0, fromY) offset
+            c.extras["modifier"] = 0
+            c.extras["meta"] = {}
+            c.extras["features"] = featurize(c.grid)
+        found.sort(key=lambda c: c.x)  # Collections.sort — stable
+
+        ignored: set[int] = set()
+        for i1, part1 in enumerate(found):
+            if id(part1) in ignored or i1 not in _MULTIPLE_PARTS:
+                continue
+            group = [p for p in found if _overlap_x(part1, p)]
+            group.sort(key=lambda c: c.y)  # stable
+            current = TRAIN_STRING[i1]
+            if current == "%":
+                group.sort(key=lambda c: float(c.width) * float(c.height))
+            index = 1 if current in _BASE_IS_SECOND else 0
+            base = group[min(index, len(group) - 1)]
+            inc = 0
+            for part2 in group:
+                if part2 is not base:
+                    if current in ("!", "?"):
+                        diff = part2.y - (base.y + base.height)
+                        name = "distanceQuestion" if current == "?" else "distanceExclamation"
+                        base.extras["meta"][name] = diff / base.height
+                    elif current in _CHAR_META:
+                        diff = base.y - (part2.y + part2.height)
+                        base.extras["meta"][_CHAR_META[current]] = diff / base.height
+                part2.extras["modifier"] = inc
+                inc += 1
+                ignored.add(id(part2))
+        out.append((from_y, to_y, found))
+    return out
+
+
+class _Trained:
+    __slots__ = ("vectors", "widths", "heights", "min_center", "max_center")
+
+    def __init__(self) -> None:
+        self.vectors: list[np.ndarray] = []
+        self.widths: list[float] = []
+        self.heights: list[float] = []
+        self.min_center = -1.0
+        self.max_center = -1.0
+
+    def center(self, c: float) -> None:  # TrainedCharacterData.recalculateCenter
+        if self.min_center == -1.0 and self.max_center == -1.0:
+            self.min_center = self.max_center = c
+        else:
+            self.max_center = max(self.max_center, c)
+            self.min_center = min(self.min_center, c)
+
+
+def train_font(config: FontConfig | None = None) -> FontModel:
+    """Render the training image and train — OCRTrain.trainImage walk."""
+    config = config or FontConfig()
+    grid = binarize(render_train_image())
+    lines = _letters_during_training(grid, config)
+    if len(lines) != len(TRAIN_SCALES):
+        raise AssertionError(
+            f"expected {len(TRAIN_SCALES)} training lines, detected {len(lines)}"
+        )
+
+    trained: dict[tuple[str, int], _Trained] = {(" ", 0): _Trained()}
+    apostrophe_ratios: list[float] = []
+    font_sizes: dict[tuple[str, int], list[float]] = {}
+    custom_spaces: dict[str, list[float]] = {}
+    meta_lists: dict[str, list[float]] = {n: [] for n in _META_NAMES}
+
+    L = len(TRAIN_STRING)
+    for line_no, (top, bottom, found) in enumerate(lines):
+        if len(found) != L:
+            raise AssertionError(
+                f"line {line_no}: {len(found)} components != len(TRAIN_STRING)={L}"
+            )
+        current_font_size = 12 * TRAIN_SCALES[line_no]
+        letter_index = 0
+        before_space_x = 0
+        first_quote: Component | None = None
+        next_measuring_space: Component | None = None
+
+        for sc in found:
+            current = TRAIN_STRING[letter_index]
+            letter_index += 1
+            modifier = sc.extras["modifier"]
+            revert_index = False
+
+            if letter_index == 3:  # the quote (OCRTrain.java:155-168)
+                current = '"'
+                if first_quote is None:
+                    first_quote = sc
+                    revert_index = True
+                else:
+                    distance = sc.x - first_quote.x - first_quote.width
+                    apostrophe_ratios.append(first_quote.height / distance)
+                    modifier = 1
+            elif letter_index == L - 2:  # first W: measure from here (:172-177)
+                before_space_x = sc.x + sc.width
+                letter_index += 1  # skip the space in TRAIN_STRING
+                continue
+            elif letter_index == L:  # last W: record the space (:180-184)
+                trained[(" ", 0)].widths.append(float(sc.x - before_space_x))
+                trained[(" ", 0)].heights.append(float(bottom - top))
+                letter_index = 0
+                continue
+
+            if next_measuring_space is not None:  # custom spaces (:189-194)
+                width = sc.x - (next_measuring_space.x + next_measuring_space.width)
+                ratio = width / next_measuring_space.height
+                prev_char = next_measuring_space.extras["letter"]
+                custom_spaces.setdefault(prev_char, []).append(ratio)
+                next_measuring_space = None
+            if current in config.special_spaces:
+                next_measuring_space = sc
+            sc.extras["letter"] = current
+
+            for name, meta in sc.extras["meta"].items():
+                meta_lists[name].append(meta)
+
+            sc.extras["modifier"] = modifier
+            t = trained.setdefault((current, modifier), _Trained())
+            t.vectors.append(sc.extras["features"])
+            t.widths.append(float(sc.width))
+            t.heights.append(float(sc.height))
+
+            font_sizes.setdefault((current, modifier), []).append(
+                current_font_size / sc.height
+            )
+
+            half_line = (bottom - top) / 2.0
+            mid_to_top = sc.y - top
+            t.center(half_line - mid_to_top)
+
+            if revert_index:
+                letter_index -= 1
+            if letter_index >= L:
+                letter_index = 0
+
+    # finishRecalculations + persistence shape
+    expected = set(LETTERS)
+    got = set(trained)
+    if got != expected:
+        raise AssertionError(
+            f"trained set mismatch: missing={expected - got} extra={got - expected}"
+        )
+
+    keys = sorted(trained, key=lambda lm: (ord(lm[0]), lm[1]))
+    segments = np.zeros((len(keys), 17), dtype=np.float64)
+    avg_w = np.zeros(len(keys))
+    avg_h = np.zeros(len(keys))
+    min_c = np.zeros(len(keys))
+    max_c = np.zeros(len(keys))
+    for idx, key in enumerate(keys):
+        t = trained[key]
+        if t.vectors:
+            segments[idx] = np.mean(np.stack(t.vectors), axis=0)
+        avg_w[idx] = float(np.mean(t.widths)) if t.widths else 0.0
+        avg_h[idx] = float(np.mean(t.heights)) if t.heights else 0.0
+        min_c[idx] = t.min_center
+        max_c[idx] = t.max_center
+
+    meta = {n: float(np.mean(v)) for n, v in meta_lists.items() if v}
+    meta["apostropheRatio"] = float(np.mean(apostrophe_ratios))
+
+    return FontModel(
+        font=config.name,
+        letters=keys,
+        segments=segments,
+        avg_width=avg_w,
+        avg_height=avg_h,
+        min_center=min_c,
+        max_center=max_c,
+        meta=meta,
+        custom_spaces={c: float(np.mean(v)) for c, v in custom_spaces.items()},
+        font_size_ratios={k: float(np.mean(v)) for k, v in font_sizes.items()},
+        config=config,
+    )
