@@ -176,6 +176,13 @@ def _connected_combo(c: int) -> bool:
         return False
     if c & 2 and not c & (8 | 32 | 128):
         return False
+    # full-height bbox: letters must reach both box edges, otherwise short
+    # bboxes sit near apostrophe height and defeat the ApostropheMergeRule's
+    # height-reference rejection (ApostropheMergeRule.java:75-88)
+    if not c & (1 | 4 | 16 | 64):
+        return False
+    if not c & (2 | 8 | 32 | 128):
+        return False
     return True
 
 
