@@ -1,0 +1,102 @@
+"""Spark end-to-end tests: span-sequence equality vs golden fixtures
+(BASELINE.json per-row invariant: (kind, text, media_ref, order) per doc),
+plus checkpoint/resume (no dup/loss after a simulated crash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory, font_model):
+    from newocr_spark.fixtures import synth_fixture
+
+    d = str(tmp_path_factory.mktemp("fixture"))
+    synth_fixture(d, n_docs=60, seed=42, model=font_model, verify=True)
+    return d
+
+
+def _spans_by_doc(df):
+    rows = df.select("doc_id", "seq", "kind", "text", "media_ref").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.doc_id, []).append((r.seq, r.kind, r.text, r.media_ref))
+    return {k: [t[1:] for t in sorted(v)] for k, v in out.items()}
+
+
+def test_extract_matches_golden(spark, font_model, fixture_dir):
+    from newocr_spark.pipeline.extract import extract_spans
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
+
+    extracted = extract_spans(spark, docs, media, font_model, ocr_partitions=8)
+    got = _spans_by_doc(extracted)
+    exp = _spans_by_doc(golden)
+    assert got == exp  # exact span-sequence equality, every doc
+    # no OCR errors on clean fixtures
+    assert extracted.filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_assembled_documents_ordered(spark, font_model, fixture_dir):
+    from newocr_spark.pipeline.extract import assemble_documents, extract_spans
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    assembled = assemble_documents(
+        extract_spans(spark, docs, media, font_model)
+    )
+    row = assembled.filter(F.size("spans") > 1).first()
+    offsets = [s.offset for s in row.spans]
+    assert offsets == sorted(offsets)
+
+
+def test_resume_no_dup_no_loss(spark, font_model, fixture_dir, tmp_path):
+    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
+
+    out = str(tmp_path / "out")
+    state = StateTable(spark, str(tmp_path / "state"))
+    runner = ExtractRunner(
+        spark, font_model, out, state, n_buckets=8, group_size=2,
+        fail_after_groups=1,
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(docs, media, input_snapshot="snap-1", run_id="run-a")
+    done_after_crash = state.completed_buckets("snap-1")
+    assert 0 < len(done_after_crash) < 8
+
+    # resume: only the remaining buckets run
+    runner.fail_after_groups = None
+    stats = runner.run(docs, media, input_snapshot="snap-1", run_id="run-b")
+    assert stats["buckets_done"] == 8
+
+    result = runner.read_output()
+    # no duplicates
+    dup = result.groupBy("doc_id", "seq").count().filter("count > 1").count()
+    assert dup == 0
+    # no loss: exact golden equality
+    assert _spans_by_doc(result) == _spans_by_doc(golden)
+    # lineage + metrics recorded
+    st = state.read()
+    assert st.filter(F.col("glyph_count") > 0).count() > 0
+    assert set(r.partition_id for r in st.collect()) == set(range(8))
+
+
+def test_idempotent_rerun(spark, font_model, fixture_dir, tmp_path):
+    """Re-running an already-complete snapshot does nothing."""
+    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    out = str(tmp_path / "out")
+    state = StateTable(spark, str(tmp_path / "state"))
+    runner = ExtractRunner(spark, font_model, out, state, n_buckets=4, group_size=4)
+    runner.run(docs, media, input_snapshot="s", run_id="r1")
+    n1 = runner.read_output().count()
+    stats = runner.run(docs, media, input_snapshot="s", run_id="r2")
+    assert stats["groups_run"] == 0
+    assert runner.read_output().count() == n1
