@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       — flagship OCR extraction on sf0.001: derive the
+                     interleaved text+media documents table from the text
+                     corpus, render media with the deterministic SparkGrid
+                     font, run the mapInPandas OCR pipeline, return the
+                     extracted spans.
+queries()          — operator registry (SURVEY.md §2 relational analogues +
+                     training-data pipeline ops + the OCR flagship).
+oracle_sql()       — DuckDB-equivalent SQL per query. The OCR flagship IS
+                     oracle-checked: the oracle reconstructs the expected
+                     span table in pure SQL (recognized text must equal the
+                     rendered source text), so CORRECTNESS_r{N} directly
+                     gates recognition fidelity. 'ann_lsh' (seeded
+                     hyperplane buckets) is the one rows-only entry.
 """
 
 from __future__ import annotations
@@ -13,26 +21,59 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+OCR_MAX_DOCS = 150
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+
+    model = get_model()
+    docs, media = corpus_fixture_tables(
+        spark, "/root/testdata/sf0.001", model, max_docs=64
+    )
+    return extract_spans(spark, docs, media, model, ocr_partitions=8)
+
+
+def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+
+    model = get_model()
+    docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=OCR_MAX_DOCS)
+    return extract_spans(spark, docs, media, model, ocr_partitions=16).select(
+        "doc_id", "seq", "kind", "text", "media_ref", "offset"
+    )
+
+
+OCR_EXTRACT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {OCR_MAX_DOCS}
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id, 0 AS seq, 'text' AS kind,
+       text, CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset"
+FROM base
+UNION ALL
+SELECT printf('doc-%06d', doc_id) AS doc_id, 1 AS seq, 'text' AS kind,
+       text, printf('m-%06d', doc_id) AS media_ref, 10 AS "offset"
+FROM base
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from newocr_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["ocr_extract"] = _ocr_extract
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from newocr_spark.queries import ORACLES
+
+    out = dict(ORACLES)
+    out["ocr_extract"] = OCR_EXTRACT_SQL
+    return out

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "ocr": {"docs": n, "chars": n, "docs_per_sec": x, "chars_per_sec": x}}
+
+The OCR flagship measures end-to-end extraction throughput (decode →
+binarize → segment → featurize → broadcast-NN → merge → space → assemble)
+over media rendered from the scale factor's text corpus; relational
+queries force full materialization via the noop sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    """Force full computation (noop sink keeps all columns alive)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+BENCH_QUERIES = (
+    "grouped_agg", "broadcast_dim_join", "top1_per_group", "interval_join",
+    "gaps_islands", "lag_arith", "ordered_stringagg", "anti_join",
+    "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
+    "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
+    "lang_id", "doc_quality", "fingerprints", "cosine_topk", "ann_lsh",
+)
+
+
+def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
+    from pyspark.sql import functions as F
+
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+    from newocr_spark.pipeline.session import build_session
+    from newocr_spark.queries import QUERIES
+
+    spark = build_session(
+        app="newocr-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- OCR flagship: fixture build (driver-side, excluded from timing) ----
+    model = get_model()
+    docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=ocr_docs)
+    docs = docs.cache()
+    media = media.cache()
+    n_docs = docs.count()
+    media.count()
+
+    t0 = time.time()
+    extracted = extract_spans(spark, docs, media, model, ocr_partitions=cpus * 2)
+    stats = extracted.agg(
+        F.sum("glyph_count").alias("glyphs"),
+        F.sum(F.length("text")).alias("chars"),
+        F.count("*").alias("spans"),
+    ).collect()[0]
+    ocr_sec = time.time() - t0
+    timings["ocr_extract"] = round(ocr_sec, 3)
+
+    # ---- relational + training-data queries ----
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    result = {
+        "metric": "total bench wall time (OCR extraction + 21 analytic queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "ocr": {
+            "docs": int(n_docs),
+            "media_chars": int(stats.chars or 0) // 2,  # half the span chars are media-recognized
+            "glyphs": int(stats.glyphs or 0),
+            "docs_per_sec": round(n_docs / ocr_sec, 2),
+            "chars_per_sec": round((int(stats.chars or 0) // 2) / ocr_sec, 2),
+            "glyphs_per_sec": round(int(stats.glyphs or 0) / ocr_sec, 2),
+        },
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication operators over documents(doc_id, text, ...).
+
+All hashing is md5-derived so the Spark plan and the DuckDB oracle compute
+bit-identical values: h(s) = bigint(hex(md5(s))[:15]) — 60 bits, positive
+in both engines.
+
+Scale notes (100 TB):
+  * exact: one hash-aggregate — map-side partial agg, no skew (md5 keys).
+  * minhash-lsh: shingle explode is the wide step; the band-bucket join is
+    an equi-join on (band, signature) whose fanout is bounded by bucket
+    size; candidate verification is a second equi-join on doc pairs. No
+    O(n^2) anywhere.
+  * n-gram jaccard: exact pairwise — quadratic in docs sharing a shingle;
+    exposed for verification and small corpora; the LSH path is the
+    scale path.
+  * simhash: linear; band the 16-bit key for candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def _h60(col):
+    """60-bit deterministic hash of a string column (same value in DuckDB:
+    CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _shingles(df: DataFrame, n: int = 2) -> DataFrame:
+    """doc_id → distinct n-gram token shingles."""
+    toks = df.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    out = toks
+    joined = F.col("tok")
+    for i in range(1, n):
+        nxt = toks.select(
+            F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2"),
+            F.col("tok").alias(f"tok{i}"),
+        )
+        out = out.join(
+            nxt, (out.doc_id == nxt.d2) & (out.pos == nxt.p2), "inner"
+        ).drop("d2", "p2")
+        joined = F.concat_ws(" ", joined, F.col(f"tok{i}"))
+    return out.select("doc_id", joined.alias("shingle")).distinct()
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5(text) groups with >1 doc → (hash, canonical, n)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold)."""
+    sh = _shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+    """doc_id → N_MINHASH minhash values (min over shingles of salted h60)."""
+    sh = _shingles(docs, n)
+    aggs = [
+        F.min(_h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    shingle → minhash → band → bucket equi-join → verify; the classic
+    scale path (banding keeps the join equi and bounded)."""
+    sigs = minhash_signatures(docs, n)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("sig"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cands = (
+        a.join(b_, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold=0.0)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """16-bit token SimHash per doc (sign of per-bit weighted sums)."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", _h60(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------- DuckDB oracle SQL ----------------
+
+H60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def shingles_sql(n: int = 2) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT UNNEST({TOKENS_SQL}) AS tok,
+                           generate_subscripts({TOKENS_SQL}, 1) AS pos) t
+    )
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS shingle
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    """
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc, count(*) AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH sh AS ({shingles_sql()}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+def minhash_lsh_sql(threshold: float = 0.5) -> str:
+    mh_cols = ", ".join(
+        f"min({H60_SQL.format(x=repr(str(i)) + ' || ' + chr(39) + ':' + chr(39) + ' || shingle')}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS ({shingles_sql()}),
+    sigs AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+def simhash_sql() -> str:
+    h = H60_SQL.format(x="tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    total = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({TOKENS_SQL}) AS tok FROM documents
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM bits
+    """

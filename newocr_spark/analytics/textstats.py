@@ -1,0 +1,146 @@
+"""Text analysis operators over documents(doc_id, text, ...).
+
+Pure pyspark.sql built-ins with exactly-mirrored DuckDB oracle SQL:
+language-ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace split), and document
+fingerprinting (md5 whole-doc + positional sampled rolling shingle mins —
+a winnowing-style selection that is deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "est"),
+    "de": ("der", "die", "und", "das", "in", "von", "zu", "ist"),
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _hits(lang: str):
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(arr, _tokens(F.col("text"))))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Distinct-stopword-hit argmax; deterministic tie-break en>es>fr>de."""
+    df = docs.select("doc_id", "text")
+    for lang in STOPWORDS:
+        df = df.withColumn(f"hits_{lang}", _hits(lang))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        cond = F.col(f"hits_{lang}") >= best_hits
+        best = F.when(
+            (F.col(f"hits_{lang}") > 0) & cond, F.lit(lang)
+        ).otherwise(best)
+        best_hits = F.greatest(best_hits, F.col(f"hits_{lang}"))
+    return df.select(
+        "doc_id",
+        best.alias("lang_pred"),
+        *[F.col(f"hits_{l}").alias(f"hits_{l}") for l in STOPWORDS],
+    )
+
+
+def lang_id_sql() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    hit_cols = ", ".join(
+        f"len(list_intersect({list(STOPWORDS[l])!r}::VARCHAR[], {toks})) AS hits_{l}"
+        for l in STOPWORDS
+    )
+    langs = list(STOPWORDS)
+    # same fold as the Spark loop: iterate reversed, earlier langs win ties
+    best = "'und'"
+    best_hits = "0"
+    for lang in reversed(langs):
+        best = (
+            f"CASE WHEN hits_{lang} > 0 AND hits_{lang} >= {best_hits} "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+        best_hits = f"greatest({best_hits}, hits_{lang})"
+    hit_out = ", ".join(f"hits_{l}" for l in langs)
+    return f"""
+    WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+    SELECT doc_id, {best} AS lang_pred, {hit_out} FROM h
+    """
+
+
+def doc_quality(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword / token statistics per doc."""
+    toks = _tokens(F.col("text"))
+    n_chars = F.length("text")
+    # punctuation = anything not alnum or whitespace
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    n_tokens = F.size(toks)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(en, toks))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        stop_hits.alias("stopword_hits"),
+        F.round(
+            (F.lit(1.0) - n_punct / n_chars) * F.least(F.lit(1.0), n_tokens / F.lit(20.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def doc_quality_sql() -> str:
+    en = list(STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(length(text) * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)
+             AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           len(list_intersect({en!r}::VARCHAR[],
+                              string_split_regex(trim(text), '\\s+'))) AS stopword_hits,
+           round((1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                        * 1.0 / length(text))
+                 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 20.0), 6)
+             AS quality_score
+    FROM documents
+    """
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Whole-doc md5 + min/max shingle hashes (winnowing-style selection)."""
+    from .dedup import _h60, _shingles
+
+    sh = _shingles(docs, 2)
+    mins = sh.groupBy("doc_id").agg(
+        F.min(_h60(F.col("shingle"))).alias("min_shingle_h"),
+        F.max(_h60(F.col("shingle"))).alias("max_shingle_h"),
+        F.count("*").alias("n_shingles"),
+    )
+    return docs.select("doc_id", F.md5("text").alias("doc_md5")).join(mins, "doc_id")
+
+
+def fingerprints_sql() -> str:
+    from .dedup import H60_SQL, shingles_sql
+
+    h = H60_SQL.format(x="shingle")
+    return f"""
+    WITH sh AS ({shingles_sql()}),
+    mins AS (
+      SELECT doc_id, min({h}) AS min_shingle_h, max({h}) AS max_shingle_h,
+             count(*) AS n_shingles
+      FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(d.text) AS doc_md5, m.min_shingle_h, m.max_shingle_h,
+           m.n_shingles
+    FROM documents d JOIN mins m ON m.doc_id = d.doc_id
+    """

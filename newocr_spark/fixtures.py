@@ -30,6 +30,58 @@ from .kernel.grid import binarize
 from .kernel.scan import render_text, scan_grid
 from .model import FontModel
 
+def corpus_fixture_tables(spark, sf_dir: str, model: FontModel, max_docs: int = 200):
+    """Derive the interleaved documents+media tables from the driver's text
+    corpus (sf_dir/documents.parquet): per doc, one text span (the original
+    text) + one media span rendering that same text (single line, scale
+    1 + doc_id % 2). Deterministic, so the expected output is expressible
+    in pure SQL over the same corpus (see __spark_entry__.oracle_sql)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < max_docs)
+        .select("doc_id", "text")
+        .collect()
+    )
+    doc_rows, media_rows = [], []
+    for r in rows:
+        doc_id = f"doc-{r.doc_id:06d}"
+        media_ref = f"m-{r.doc_id:06d}"
+        scale = 1 + int(r.doc_id) % 2
+        png = encode_png(render_text_image([r.text], scale=scale))
+        media_rows.append((media_ref, bytearray(png)))
+        doc_rows.append(
+            (
+                doc_id,
+                [
+                    ("text", r.text, None, 0),
+                    ("media", None, media_ref, 10),
+                ],
+            )
+        )
+    span_t = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+    docs_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("spans", ArrayType(span_t))]
+    )
+    media_schema = StructType(
+        [StructField("media_ref", StringType()), StructField("png", BinaryType())]
+    )
+    docs = spark.createDataFrame(doc_rows, docs_schema)
+    media = spark.createDataFrame(media_rows, media_schema)
+    return docs, media
+
+
 LOREM_LINES = (
     "the quick brown fox jumps over 13 lazy dogs!",
     "pack my box with five dozen liquor jugs?",

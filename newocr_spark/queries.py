@@ -1,0 +1,406 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry is an operator analogue from SURVEY.md §2 (the OCR engine's
+relational shapes, exercised on the driver's TPC-H-ish tables) or a
+training-data pipeline operation over documents/embeddings
+(analytics/*). Spark and oracle alias every computed column identically —
+the driver's compare hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analytics import dedup as D
+from .analytics import similarity as S
+from .analytics import textstats as T
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational analogues (SURVEY §2 last column)
+# ---------------------------------------------------------------------------
+
+def q_grouped_agg(spark, sf):  # A1: per-(letter,modifier) segment averaging
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_GROUPED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_dim_join(spark, sf):  # S2: broadcast font-model dim join
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_top1_per_group(spark, sf):  # J1: NN min-by (argmin per group)
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("best_line"),
+            F.round("l_extendedprice", 4).alias("best_price"),
+        )
+    )
+
+
+SQL_TOP1_PER_GROUP = """
+SELECT l_orderkey, l_linenumber AS best_line,
+       round(l_extendedprice, 4) AS best_price
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice ASC, l_linenumber ASC) = 1
+"""
+
+
+def q_interval_join(spark, sf):  # J2: glyph-center ∈ line-bounds range join
+    ev = load(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 100.0), (2, 100.0, 1000.0), (3, 1000.0, 1e9)],
+        "band int, lo double, hi double",
+    )
+    return (
+        ev.join(
+            bands,
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES (0, 0.0, 10.0), (1, 10.0, 100.0), (2, 100.0, 1000.0),
+         (3, 1000.0, 1000000000.0)
+)
+SELECT band, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def q_gaps_islands(spark, sf):  # G1: populated-row runs → sessionization
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 300), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("sz")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("sz").alias("max_session_len")
+    )
+
+
+SQL_GAPS_ISLANDS = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 300
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS sz FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(sz) AS max_session_len
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_lag_arith(spark, sf):  # O3: gap/lag arithmetic (space insertion)
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    d = ev.withColumn("delta", delta).filter(F.col("delta").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.when(F.col("delta") > 10, 1).otherwise(0)).alias("big_gaps"),
+        F.round(F.avg("delta"), 6).alias("avg_delta"),
+    )
+
+
+SQL_LAG_ARITH = """
+WITH d AS (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       sum(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS big_gaps,
+       round(avg(delta), 6) AS avg_delta
+FROM d WHERE delta IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_ordered_stringagg(spark, sf):  # O4: ordered text assembly
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "  struct(l_linenumber AS ln, cast(l_partkey AS string) AS pk))),"
+            "  x -> x.pk), ',')"
+        ).alias("parts_in_order")
+    )
+
+
+SQL_ORDERED_STRINGAGG = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR))
+         AS parts_in_order
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_anti_join(spark, sf):  # X1: consume-on-match (left anti)
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_grouped_avg_meta(spark, sf):  # S3/A3: averaged metadata read
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_GROUPED_AVG_META = """
+SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_minmax_center(spark, sf):  # A2: min/max center tracking
+    p = load(spark, sf, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 4).alias("min_price"),
+        F.round(F.max("p_retailprice"), 4).alias("max_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+SQL_MINMAX_CENTER = """
+SELECT p_brand,
+       round(min(p_retailprice), 4) AS min_price,
+       round(max(p_retailprice), 4) AS max_price,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_running_max(spark, sf):  # A6: per-line max height (running window)
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .withColumn("running_max", F.round(F.max("value").over(w), 6))
+        .select("event_id", "user_id", "running_max")
+    )
+
+
+SQL_RUNNING_MAX = """
+SELECT event_id, user_id,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_max
+FROM events WHERE user_id < 20
+"""
+
+
+def q_multi_dim_star(spark, sf):  # S2 composite: star-schema broadcast chain
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+    )
+
+
+SQL_MULTI_DIM_STAR = """
+SELECT r_name, n_name, round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return D.exact_duplicates(load(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.5)
+
+
+def q_simhash(spark, sf):
+    return D.simhash_docs(load(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    return T.lang_id(load(spark, sf, "documents"))
+
+
+def q_doc_quality(spark, sf):
+    return T.doc_quality(load(spark, sf, "documents"))
+
+
+def q_fingerprints(spark, sf):
+    return T.fingerprints(load(spark, sf, "documents"))
+
+
+def q_cosine_topk(spark, sf):
+    return S.cosine_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
+
+
+def q_ann_lsh(spark, sf):  # Spark-only scale path (rows-only check)
+    return S.lsh_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "grouped_agg": q_grouped_agg,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "top1_per_group": q_top1_per_group,
+    "interval_join": q_interval_join,
+    "gaps_islands": q_gaps_islands,
+    "lag_arith": q_lag_arith,
+    "ordered_stringagg": q_ordered_stringagg,
+    "anti_join": q_anti_join,
+    "grouped_avg_meta": q_grouped_avg_meta,
+    "minmax_center": q_minmax_center,
+    "running_max": q_running_max,
+    "multi_dim_star": q_multi_dim_star,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+    "fingerprints": q_fingerprints,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "grouped_agg": SQL_GROUPED_AGG,
+    "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
+    "top1_per_group": SQL_TOP1_PER_GROUP,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "gaps_islands": SQL_GAPS_ISLANDS,
+    "lag_arith": SQL_LAG_ARITH,
+    "ordered_stringagg": SQL_ORDERED_STRINGAGG,
+    "anti_join": SQL_ANTI_JOIN,
+    "grouped_avg_meta": SQL_GROUPED_AVG_META,
+    "minmax_center": SQL_MINMAX_CENTER,
+    "running_max": SQL_RUNNING_MAX,
+    "multi_dim_star": SQL_MULTI_DIM_STAR,
+    "dedup_exact": D.EXACT_DUP_SQL,
+    "ngram_jaccard": D.jaccard_pairs_sql(0.5),
+    "minhash_lsh": D.minhash_lsh_sql(0.5),
+    "simhash": D.simhash_sql(),
+    "lang_id": T.lang_id_sql(),
+    "doc_quality": T.doc_quality_sql(),
+    "fingerprints": T.fingerprints_sql(),
+    "cosine_topk": S.cosine_topk_sql(5, 5),
+    # "ann_lsh": Spark-only (seeded-hyperplane buckets) → rows-only check
+}
