@@ -47,7 +47,13 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
     from newocr_spark.queries import QUERIES
 
     spark = build_session(
-        app="newocr-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app="newocr-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra={
+            # keep stdout clean for the one-line JSON contract + avoid
+            # GC-locker stalls on the image-heavy stages
+            "spark.driver.memory": "24g",
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

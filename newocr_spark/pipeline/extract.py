@@ -38,7 +38,7 @@ from ..model import FontModel
 
 OCR_OUTPUT_SCHEMA = (
     "doc_id string, offset int, kind string, text string, media_ref string, "
-    "glyph_count long, line_count int, error string"
+    "glyph_count long, line_count int, font_size_pt double, error string"
 )
 
 
@@ -51,6 +51,7 @@ def make_ocr_udf(broadcast_model):
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs.png import decode_png
         from ..kernel.grid import binarize
+        from ..kernel.metrics import font_size_of
         from ..kernel.scan import render_text, scan_grid
 
         model: FontModel = broadcast_model.value
@@ -59,6 +60,7 @@ def make_ocr_udf(broadcast_model):
             texts: list = [None] * n
             glyphs = [0] * n
             line_counts = [0] * n
+            font_sizes: list = [None] * n
             errors: list = [None] * n
             for i, png in enumerate(pdf["png"]):
                 try:
@@ -68,6 +70,12 @@ def make_ocr_udf(broadcast_model):
                     texts[i] = render_text(lines)
                     glyphs[i] = int(sum(len(l) for _y, l in lines))
                     line_counts[i] = len(lines)
+                    # A7: per-image mean font-size estimate
+                    sizes = [
+                        s for _y, line in lines for l in line
+                        if l.letter != " " and (s := font_size_of(l, model)) is not None
+                    ]
+                    font_sizes[i] = sum(sizes) / len(sizes) if sizes else None
                 except Exception as exc:  # per-image fault isolation
                     errors[i] = f"{type(exc).__name__}: {exc}"
             yield pd.DataFrame(
@@ -79,6 +87,7 @@ def make_ocr_udf(broadcast_model):
                     "media_ref": pdf["media_ref"].values,
                     "glyph_count": glyphs,
                     "line_count": line_counts,
+                    "font_size_pt": font_sizes,
                     "error": errors,
                 }
             )
@@ -108,6 +117,7 @@ def extract_spans(
             F.lit(None).cast("string").alias("media_ref"),
             F.lit(0).cast("long").alias("glyph_count"),
             F.lit(0).cast("int").alias("line_count"),
+            F.lit(None).cast("double").alias("font_size_pt"),
             F.lit(None).cast("string").alias("error"),
         )
     )
@@ -129,7 +139,7 @@ def extract_spans(
     seq = Window.partitionBy("doc_id").orderBy("offset")
     return result.withColumn("seq", (F.row_number().over(seq) - 1).cast("int")).select(
         "doc_id", "seq", "kind", "text", "media_ref", "offset",
-        "glyph_count", "line_count", "error",
+        "glyph_count", "line_count", "font_size_pt", "error",
     )
 
 

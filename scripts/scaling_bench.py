@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: identical OCR extraction job + input at two
+parallelism levels (local[8] vs local[32]), the sandbox stand-in for N → 4N
+executors (BASELINE.json north_rule: efficiency >= 0.8).
+
+Each measurement runs in its own subprocess (fresh JVM) so the two levels
+share nothing. The workload replicates the corpus-rendered media R times
+with distinct media_refs, giving a CPU-bound fleet of OCR tasks large
+enough that scheduling overhead does not dominate.
+
+Usage:
+  python scripts/scaling_bench.py                 # orchestrate both + write BENCH.md
+  python scripts/scaling_bench.py --child --cpus 8  # one measurement (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
+    from pyspark.sql import functions as F
+
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+    from newocr_spark.pipeline.session import build_session
+
+    spark = build_session(
+        app=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra={
+            "spark.driver.memory": "24g",
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    model = get_model()
+    docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=base_docs)
+
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    docs_r = (
+        docs.crossJoin(reps)
+        .select(
+            F.concat_ws("-", "doc_id", "rep").alias("doc_id"),
+            F.expr(
+                "transform(spans, s -> named_struct("
+                "  'kind', s.kind, 'text', s.text,"
+                "  'media_ref', CASE WHEN s.media_ref IS NULL THEN NULL"
+                "                    ELSE concat_ws('-', s.media_ref, rep) END,"
+                "  'offset', s.offset))"
+            ).alias("spans"),
+        )
+    )
+    media_r = media.crossJoin(reps).select(
+        F.concat_ws("-", "media_ref", "rep").alias("media_ref"), "png"
+    )
+    docs_r = docs_r.cache()
+    media_r = media_r.cache()
+    n_docs = docs_r.count()
+    media_r.count()
+
+    t0 = time.time()
+    out = extract_spans(spark, docs_r, media_r, model, ocr_partitions=cpus * 2)
+    stats = out.agg(
+        F.sum("glyph_count").alias("glyphs"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    wall = time.time() - t0
+    media_chars = int(stats.chars or 0) // 2
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": int(n_docs),
+                "media_chars": media_chars,
+                "glyphs": int(stats.glyphs or 0),
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 2),
+                "chars_per_sec": round(media_chars / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(8, 32)) -> None:
+    results = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__), "--child",
+                "--cpus", str(cpus), "--sf-dir", sf_dir,
+                "--base-docs", str(base_docs), "--replicate", str(replicate),
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}")
+
+    lo, hi = levels
+    x_lo = results[lo]["docs_per_sec"]
+    x_hi = results[hi]["docs_per_sec"]
+    eff = x_hi / ((hi / lo) * x_lo)
+    summary = {
+        "levels": {str(k): v for k, v in results.items()},
+        "scaling_factor": hi / lo,
+        "speedup": round(x_hi / x_lo, 3),
+        "efficiency": round(eff, 3),
+        "meets_0.8_bar": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    bench_md = os.path.join(REPO, "BENCH.md")
+    with open(bench_md, "w") as f:
+        f.write(_render_md(results, lo, hi, eff, sf_dir))
+    print(f"wrote {bench_md}")
+
+
+def _render_md(results, lo, hi, eff, sf_dir) -> str:
+    r_lo, r_hi = results[lo], results[hi]
+    return f"""# BENCH — throughput + scaling evidence
+
+Identical OCR-extraction job and input at two parallelism levels — the
+sandbox stand-in for N → 4N executors (BASELINE.json `north_rule`; no real
+cluster is available here, per the driver instruction). Each level runs in
+its own JVM via subprocess; the input is media rendered from
+`{sf_dir}/documents.parquet` replicated with distinct media_refs.
+
+| parallelism | docs | recognized chars | wall (s) | docs/sec | chars/sec |
+|---|---|---|---|---|---|
+| local[{lo}] (N)   | {r_lo["docs"]} | {r_lo["media_chars"]} | {r_lo["wall_sec"]} | {r_lo["docs_per_sec"]} | {r_lo["chars_per_sec"]} |
+| local[{hi}] (4N)  | {r_hi["docs"]} | {r_hi["media_chars"]} | {r_hi["wall_sec"]} | {r_hi["docs_per_sec"]} | {r_hi["chars_per_sec"]} |
+
+**Speedup {lo}→{hi} threads: {r_hi["docs_per_sec"] / r_lo["docs_per_sec"]:.2f}x,
+scaling efficiency = {eff:.3f}** (target ≥ 0.8, BASELINE.json).
+
+Workload notes:
+- the timed section is the full extraction pipeline (decode → binarize →
+  CC segmentation → 17-seg featurization → broadcast-NN → mergence →
+  spacing → span re-assembly) via `extract_spans`, forced with an
+  aggregate over every output column;
+- fixture rendering happens driver-side before the clock starts (it is
+  test-harness work, not pipeline work);
+- per-image work is embarrassingly parallel across `ocr_partitions = 2x
+  cores` Arrow batches; no shuffle sits between decode and recognition, so
+  the efficiency ceiling is Python-worker startup + the final
+  row_number/union exchange.
+
+Regenerate: `python scripts/scaling_bench.py`
+"""
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--child", action="store_true")
+    p.add_argument("--cpus", type=int, default=8)
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--base-docs", type=int, default=500)
+    p.add_argument("--replicate", type=int, default=24)
+    args = p.parse_args()
+    if args.child:
+        child(args.cpus, args.sf_dir, args.base_docs, args.replicate)
+    else:
+        orchestrate(args.sf_dir, args.base_docs, args.replicate)
+
+
+if __name__ == "__main__":
+    main()
