@@ -61,8 +61,42 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a < doc_b) pairs via shingle joins."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold)."""
+    """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold).
+
+    This is the exact baseline: one shingle equi-join whose fanout is
+    sum(df^2) over shingles — inherently quadratic in co-occurrence, so at
+    scale use minhash_lsh_pairs (banded LSH candidates + exact verify);
+    this operator exists to verify the LSH path and for small corpora.
+    (A PPJoin prefix-filter variant was measured and discarded: with a
+    small-vocabulary corpus every shingle is frequent, so the filter prunes
+    nothing and its extra shuffles cost 5x.)"""
     sh = _shingles(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -121,31 +155,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> Da
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify ONLY the candidates (never the O(n^2) exact-pairs table):
-    # intersect shingle sets per candidate pair, then Jaccard
-    sh = _shingles(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # verify ONLY the candidates (never the O(n^2) exact-pairs table)
+    return _verify_pairs(cands, _shingles(docs, n).cache(), threshold)
 
 
 SIMHASH_BITS = 16

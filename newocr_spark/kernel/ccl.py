@@ -35,29 +35,6 @@ class Component:
     extras: dict = field(default_factory=dict)
 
 
-class _UnionFind:
-    __slots__ = ("parent",)
-
-    def __init__(self, n: int) -> None:
-        self.parent = list(range(n))
-
-    def find(self, a: int) -> int:
-        p = self.parent
-        while p[a] != a:
-            p[a] = p[p[a]]
-            a = p[a]
-        return a
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            # keep the smaller root so earlier-discovered runs stay canonical
-            if ra < rb:
-                self.parent[rb] = ra
-            else:
-                self.parent[ra] = rb
-
-
 def _runs_per_row(grid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized horizontal run extraction.
 
@@ -74,6 +51,43 @@ def _runs_per_row(grid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return starts[0], starts[1], ends[1]
 
 
+def _union_pairs(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 height: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 8-conn overlap pairs between runs of adjacent rows.
+
+    Runs within a row are sorted and disjoint, so for a run [sb, eb) in row
+    r+1, the overlapping runs of row r form the contiguous index range
+    [searchsorted(ends_r, sb), searchsorted(starts_r, eb, 'right')).
+    """
+    row_break = np.searchsorted(rows, np.arange(height + 1))
+    pa: list[np.ndarray] = []
+    pb: list[np.ndarray] = []
+    for r in range(1, height):
+        a0, a1 = row_break[r - 1], row_break[r]
+        b0, b1 = row_break[r], row_break[r + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        sa, ea = starts[a0:a1], ends[a0:a1]
+        sb, eb = starts[b0:b1], ends[b0:b1]
+        lo = np.searchsorted(ea, sb, side="left")
+        hi = np.searchsorted(sa, eb, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        # expand [lo_j, hi_j) ranges: a-index per pair, b-index repeated
+        b_idx = np.repeat(np.arange(b0, b1), counts)
+        csum = np.cumsum(counts) - counts
+        a_idx = (np.arange(total) - np.repeat(csum, counts)
+                 + np.repeat(lo, counts) + a0)
+        pa.append(a_idx)
+        pb.append(b_idx)
+    if not pa:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(pa), np.concatenate(pb)
+
+
 def connected_components(grid: np.ndarray) -> list[Component]:
     """8-connected components of a bool grid, in reference discovery order."""
     if grid.size == 0:
@@ -83,42 +97,33 @@ def connected_components(grid: np.ndarray) -> list[Component]:
     if n_runs == 0:
         return []
 
-    uf = _UnionFind(n_runs)
-    # row → (slice of run indices); rows array is sorted
-    row_break = np.searchsorted(rows, np.arange(grid.shape[0] + 1))
-    for r in range(1, grid.shape[0]):
-        a0, a1 = row_break[r - 1], row_break[r]
-        b0, b1 = row_break[r], row_break[r + 1]
-        if a0 == a1 or b0 == b1:
-            continue
-        ia, ib = a0, b0
-        # two-pointer sweep over sorted intervals; 8-conn: touch within ±1
-        while ia < a1 and ib < b1:
-            # prev-run [sa, ea), cur-run [sb, eb) overlap iff sb <= ea and sa <= eb
-            sa, ea = starts[ia], ends[ia]
-            sb, eb = starts[ib], ends[ib]
-            if sb <= ea and sa <= eb:  # intervals expanded by 1 on each side touch
-                uf.union(ia, ib)
-            if ea < eb:
-                ia += 1
-            else:
-                ib += 1
+    pair_a, pair_b = _union_pairs(rows, starts, ends, grid.shape[0])
+    # min-label propagation with pointer jumping (vectorized union-find):
+    # converges to the per-component minimum run index
+    labels = np.arange(n_runs, dtype=np.int64)
+    while True:
+        prev = labels.copy()
+        if len(pair_a):
+            np.minimum.at(labels, pair_a, labels[pair_b])
+            np.minimum.at(labels, pair_b, labels[pair_a])
+        labels = np.minimum(labels, labels[labels])
+        labels = np.minimum(labels, labels[labels])
+        if np.array_equal(labels, prev):
+            break
 
-    roots = np.fromiter((uf.find(i) for i in range(n_runs)), dtype=np.int64, count=n_runs)
-    order = {}  # root → discovery index, in (row, start) order of first run
-    for i in range(n_runs):
-        r = roots[i]
-        if r not in order:
-            order[r] = len(order)
+    roots = labels
+    # root → discovery index, in (row, start) order of first run.
+    # np.unique sorts roots ascending; the root IS the component's first
+    # run index (minimum), so ascending == raster discovery order
+    first_seen, inverse = np.unique(roots, return_inverse=True)
+    comp_of_run = inverse
 
-    n_comp = len(order)
+    n_comp = len(first_seen)
     min_x = np.full(n_comp, np.iinfo(np.int64).max, dtype=np.int64)
     max_x = np.full(n_comp, -1, dtype=np.int64)
     min_y = np.full(n_comp, np.iinfo(np.int64).max, dtype=np.int64)
     max_y = np.full(n_comp, -1, dtype=np.int64)
     counts = np.zeros(n_comp, dtype=np.int64)
-    comp_of_run = np.fromiter((order[r] for r in roots), dtype=np.int64, count=n_runs)
-
     np.minimum.at(min_x, comp_of_run, starts)
     np.maximum.at(max_x, comp_of_run, ends - 1)
     np.minimum.at(min_y, comp_of_run, rows)
@@ -137,7 +142,19 @@ def connected_components(grid: np.ndarray) -> list[Component]:
                 pixel_count=int(counts[c]),
             )
         )
-    for i in range(n_runs):
-        comp = comps[comp_of_run[i]]
-        comp.grid[rows[i] - comp.y, starts[i] - comp.x : ends[i] - comp.x] = True
+
+    # vectorized run → pixel expansion, then one fancy-index fill per comp
+    lengths = ends - starts
+    total = int(lengths.sum())
+    csum = np.cumsum(lengths) - lengths
+    px_col = np.repeat(starts, lengths) + (np.arange(total) - np.repeat(csum, lengths))
+    px_row = np.repeat(rows, lengths)
+    px_comp = np.repeat(comp_of_run, lengths)
+    order = np.argsort(px_comp, kind="stable")
+    px_row, px_col, px_comp = px_row[order], px_col[order], px_comp[order]
+    breaks = np.searchsorted(px_comp, np.arange(n_comp + 1))
+    for c in range(n_comp):
+        s, e = breaks[c], breaks[c + 1]
+        comp = comps[c]
+        comp.grid[px_row[s:e] - comp.y, px_col[s:e] - comp.x] = True
     return comps

@@ -68,11 +68,13 @@ class _Ctx:
 
 
 # ---------------- the five rules ----------------
-# each: (ctx, target, context_list) -> list of merged-away letters, or None
+# each: (ctx, target, context_list, pos) -> merged-away letters, or None;
+# pos is the index of target in context_list (the manager tracks it so the
+# reference's per-call indexOf scans are O(1) here)
 
 
-def _under_dot(ctx: _Ctx, target, data):  # M2 — rules/UnderDotMergeRule.java:57-93
-    idx = data.index(target) + 1
+def _under_dot(ctx: _Ctx, target, data, pos):  # M2 — rules/UnderDotMergeRule.java:57-93
+    idx = pos + 1
     if len(data) <= idx:
         return None
     if (target.letter, target.mod) == ("?", 1) and not ctx.is_vline(target):
@@ -96,8 +98,8 @@ def _under_dot(ctx: _Ctx, target, data):  # M2 — rules/UnderDotMergeRule.java:
     return None
 
 
-def _equal_vertical(ctx: _Ctx, target, data):  # M5 — rules/EqualVerticalMergeRule.java:55-92
-    idx = data.index(target) + 1
+def _equal_vertical(ctx: _Ctx, target, data, pos):  # M5 — rules/EqualVerticalMergeRule.java:55-92
+    idx = pos + 1
     if len(data) <= idx:
         return None
     nxt = data[idx]
@@ -123,8 +125,8 @@ def _equal_vertical(ctx: _Ctx, target, data):  # M5 — rules/EqualVerticalMerge
     return None
 
 
-def _over_dot(ctx: _Ctx, target, data):  # M1 — rules/OverDotMergeRule.java:57-117
-    idx = data.index(target) - 1
+def _over_dot(ctx: _Ctx, target, data, pos):  # M1 — rules/OverDotMergeRule.java:57-117
+    idx = pos - 1
     if idx < 0:
         return None
     tl = target.letter
@@ -168,10 +170,10 @@ def _over_dot(ctx: _Ctx, target, data):  # M1 — rules/OverDotMergeRule.java:57
     return None
 
 
-def _apostrophe(ctx: _Ctx, target, data):  # M3 — rules/ApostropheMergeRule.java:52-97
+def _apostrophe(ctx: _Ctx, target, data, pos):  # M3 — rules/ApostropheMergeRule.java:52-97
     if not ctx.is_vline(target):
         return None
-    idx = data.index(target) - 1
+    idx = pos - 1
     if len(data) <= idx or idx < 0:
         return None
     before = data[idx]
@@ -198,8 +200,8 @@ def _apostrophe(ctx: _Ctx, target, data):  # M3 — rules/ApostropheMergeRule.ja
     return None
 
 
-def _percent(ctx: _Ctx, target, data):  # M4 — rules/PercentMergeRule.java:43-101
-    bi = data.index(target)
+def _percent(ctx: _Ctx, target, data, pos):  # M4 — rules/PercentMergeRule.java:43-101
+    bi = pos
     if bi - 1 < 0 or bi + 1 >= len(data):
         return None
     part1 = data[bi - 1]
@@ -254,13 +256,22 @@ def run_mergence(sorted_lines, model):
     ctx = _Ctx(model)
 
     all_letters = [l for _y, line in sorted_lines for l in line]  # reading order
-    # vertical relations: all letters overlapping in X (incl. self), by Y
-    vertical = {
-        id(l): sorted(
-            (o for o in all_letters if o.overlaps_x(l)), key=lambda o: o.y
-        )
-        for l in all_letters
-    }
+    # vertical relations: all letters overlapping in X (incl. self), by Y.
+    # One vectorized interval test replaces the reference's parallel-stream
+    # O(n^2) object loop (DefaultMergenceManager.java:140-152); the stable
+    # (y, reading-order) sort matches its Comparator.comparingInt(getY).
+    import numpy as np
+
+    n = len(all_letters)
+    xs = np.fromiter((l.x for l in all_letters), np.int64, n)
+    xe = np.fromiter((l.x + l.width for l in all_letters), np.int64, n)
+    ys = np.fromiter((l.y for l in all_letters), np.int64, n)
+    y_order = np.argsort(ys, kind="stable")
+    xs_o, xe_o = xs[y_order], xe[y_order]
+    vertical = {}
+    for i, l in enumerate(all_letters):
+        mask = (xe_o > xs[i]) & (xe[i] > xs_o)
+        vertical[id(l)] = [all_letters[j] for j in y_order[mask]]
     line_of = {}
     for _y, line in sorted_lines:
         for l in line:
@@ -268,28 +279,53 @@ def run_mergence(sorted_lines, model):
 
     removed_global = set()
 
+    def positions_of(lst):
+        return {id(x): i for i, x in enumerate(lst)}
+
     for rule_idx in _RULE_ORDER:
         rule_fn, horizontal = _RULES[rule_idx]
         removing: list = []
         removing_ids: set[int] = set()
-        for letter in all_letters:
-            if id(letter) in removed_global or id(letter) in removing_ids:
-                continue
-            data = line_of[id(letter)] if horizontal else vertical[id(letter)]
-            if letter not in data:
-                continue
-            result = rule_fn(ctx, letter, data)
-            if result:
-                for r in result:
-                    removing.append(r)
-                    removing_ids.add(id(r))
-                # remove from every context list of this orientation
-                if horizontal:
-                    for _y, line in sorted_lines:
-                        line[:] = [x for x in line if id(x) not in removing_ids]
-                else:
-                    for lst in vertical.values():
-                        lst[:] = [x for x in lst if id(x) not in removing_ids]
+        if horizontal:
+            # iterate lines in insertion order = reading order
+            for _y, line in sorted_lines:
+                pos_map = positions_of(line)
+                for letter in list(line):
+                    lid = id(letter)
+                    if lid in removed_global or lid in removing_ids:
+                        continue
+                    result = rule_fn(ctx, letter, line, pos_map[lid])
+                    if result:
+                        for r in result:
+                            removing.append(r)
+                            removing_ids.add(id(r))
+                        # a letter appears only in its own line list, so
+                        # the removeAll sweep (DefaultMergenceManager.java:117)
+                        # only ever touches those lines
+                        for r in result:
+                            owner = line_of[id(r)]
+                            owner[:] = [x for x in owner if id(x) not in removing_ids]
+                        pos_map = positions_of(line)
+        else:
+            for letter in all_letters:
+                lid = id(letter)
+                if lid in removed_global or lid in removing_ids:
+                    continue
+                data = vertical[lid]
+                result = rule_fn(ctx, letter, data, data.index(letter))
+                if result:
+                    # x-overlap is symmetric: a removed letter appears only
+                    # in the lists of the letters in its own list, so the
+                    # removeAll sweep only needs to touch those
+                    affected: set[int] = set()
+                    for r in result:
+                        removing.append(r)
+                        removing_ids.add(id(r))
+                        affected.update(id(o) for o in vertical.get(id(r), ()))
+                    for aid in affected:
+                        lst = vertical.get(aid)
+                        if lst is not None:
+                            lst[:] = [x for x in lst if id(x) not in removing_ids]
         # drop as relation keys from both orientations + from the line lists
         for r in removing:
             removed_global.add(id(r))
@@ -322,7 +358,7 @@ def _process_letter(ctx: _Ctx, letter) -> None:
             return
         lt, mod = letter.letter, letter.mod
         if lt == "=" or (lt == ";" and mod == 1) or lt in ("j", '"', "%", "i", "!"):
-            if not letter.closest:
+            if not letter.has_next_closest():
                 # the reference would throw here (ImageLetter.java:204); a
                 # trained model always offers alternatives, so this only
                 # guards degenerate test models

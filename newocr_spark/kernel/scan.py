@@ -11,23 +11,28 @@ reference is imperative. Pipeline:
   → assembly (O1/O2/O4).
 
 The NN hot loop is one (n_glyphs, N_trained) matrix expression instead of
-the reference's per-character hash-map loop (OCRActions.java:199-210).
+the reference's per-character hash-map loop (OCRActions.java:199-210), and
+glyph bitmaps memoize their candidate ranking in a worker-local LRU (a
+font glyph cache: identical bitmaps recur constantly in rendered corpora,
+and the ranking is a pure function of bitmap + broadcast model).
 
-Deterministic deviation (documented): the reference sorts NN candidates with
-equal scores in hash-map iteration order and runs merge rules over
+Deterministic deviation (documented): the reference sorts NN candidates
+with equal scores in hash-map iteration order and runs merge rules over
 ConcurrentHashMap iteration order — both nondeterministic in Java. We
 tie-break candidates by (letter, modifier) and iterate letters in reading
-order (line insertion order, then x), which is deterministic and matches the
-reference wherever the reference itself is well-defined.
+order (line insertion order, then x), which is deterministic and matches
+the reference wherever the reference itself is well-defined.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 import numpy as np
 
 from ..model import FontModel
 from .ccl import connected_components
-from .features import featurize_many
+from .features import featurize, featurize_many
 from .grid import binarize, rows_populated
 from .lines import line_bounds
 from .mergence import run_mergence
@@ -35,12 +40,15 @@ from .spacing import insert_spaces
 
 
 class ImageLetter:
-    """A matched glyph (character/ImageLetter.java)."""
+    """A matched glyph (character/ImageLetter.java). NN candidates are held
+    lazily as a row-index array into the broadcast model; setNextClosest
+    (ImageLetter.java:203-205) advances the pointer."""
 
     __slots__ = (
         "letter", "mod", "x", "y", "width", "height",
         "avg_w", "avg_h", "ratio", "min_center", "max_center",
-        "closest", "amount_of_merges", "merged_pieces", "center_offset",
+        "amount_of_merges", "merged_pieces", "center_offset",
+        "_cands", "_cand_pos", "_model",
     )
 
     def __init__(self, letter, mod, x, y, width, height, avg_w, avg_h,
@@ -56,20 +64,30 @@ class ImageLetter:
         self.ratio = ratio
         self.min_center = min_center
         self.max_center = max_center
-        self.closest: list[tuple] = []  # [(letter, mod, avg_w, avg_h, score)]
         self.amount_of_merges = 0
         # pieces merged into this letter: [(letter, mod, height)] incl. self
         self.merged_pieces: list[tuple[str, int, int]] | None = None
         self.center_offset = 0.0
+        self._cands = None       # np int array of model rows, best-first
+        self._cand_pos = 0       # current head position in _cands
+        self._model: FontModel | None = None
+
+    def attach_candidates(self, cands: np.ndarray, model: FontModel) -> None:
+        self._cands = cands
+        self._cand_pos = 0
+        self._model = model
+
+    def has_next_closest(self) -> bool:
+        return self._cands is not None and self._cand_pos + 1 < len(self._cands)
 
     def set_next_closest(self) -> None:
-        """ImageLetter.setNextClosest (ImageLetter.java:203-205): adopt the
-        next-best NN candidate's identity/averages."""
-        letter, mod, avg_w, avg_h, _score = self.closest.pop(0)
-        self.letter = letter
-        self.mod = mod
-        self.avg_w = avg_w
-        self.avg_h = avg_h
+        """Adopt the next-best NN candidate's identity/averages."""
+        self._cand_pos += 1
+        j = int(self._cands[self._cand_pos])
+        m = self._model
+        self.letter, self.mod = m.letters[j]
+        self.avg_w = float(m.avg_width[j])
+        self.avg_h = float(m.avg_height[j])
 
     def merge(self, other: "ImageLetter") -> None:
         """CoordinateCharacter.merge (:30-77). Union bboxes; note the
@@ -101,28 +119,60 @@ class ImageLetter:
         return f"<{self.letter!r}/{self.mod} @({self.x},{self.y}) {self.width}x{self.height}>"
 
 
-def _match_all(features: np.ndarray, ratios: np.ndarray, model: FontModel) -> tuple:
-    """Vectorized NN scoring of all glyphs against the broadcast model (J1).
+# worker-local glyph cache: (model id, glyph shape+bytes) → candidate order.
+# ~220 B/entry; capped LRU so long-running executors stay bounded.
+_CAND_CACHE: OrderedDict = OrderedDict()
+_CAND_CACHE_MAX = 200_000
+
+
+def _rank_candidates(model: FontModel, feats: np.ndarray, ratios: np.ndarray) -> np.ndarray:
+    """Vectorized NN ranking for a batch of glyphs → (g, N) int16 orders.
 
     score = sum((g - t)^2 over 17 segments)            (OCRUtils.java:90-99)
           + weight(letter) * (trained_ratio - glyph_ratio)^2
-                                                        (OCRActions.java:248-258)
-    Returns (order, scores): order[i] = candidate row indices sorted by
-    (score, letter, modifier) — deterministic tie-break.
+                                                       (OCRActions.java:248-258)
+    Ties break by (letter, modifier) for determinism.
     """
-    T = model.segments  # (N, 17)
-    G = features        # (g, 17)
-    seg_d = ((G[:, None, :] - T[None, :, :]) ** 2).sum(axis=-1)  # (g, N)
+    T = model.segments
+    seg_d = ((feats[:, None, :] - T[None, :, :]) ** 2).sum(axis=-1)
     tr = np.nan_to_num(model.trained_ratios, nan=0.0)
-    ratio_d = model.ratio_weights[None, :] * (tr[None, :] - ratios[:, None]) ** 2
-    scores = seg_d + ratio_d
+    scores = seg_d + model.ratio_weights[None, :] * (tr[None, :] - ratios[:, None]) ** 2
     n = len(model.letters)
     letter_codes = np.array([ord(lm[0]) for lm in model.letters])
     mods = np.array([lm[1] for lm in model.letters])
-    order = np.empty_like(scores, dtype=np.int64)
-    for i in range(scores.shape[0]):
-        order[i] = np.lexsort((mods, letter_codes, scores[i]))
-    return order, scores
+    orders = np.empty((len(feats), n), dtype=np.int16)
+    for i in range(len(feats)):
+        orders[i] = np.lexsort((mods, letter_codes, scores[i])).astype(np.int16)
+    return orders
+
+
+def _candidates_for(comps, model: FontModel) -> list[np.ndarray]:
+    """Candidate order per component, via the worker-local glyph cache."""
+    keys = []
+    miss_idx = []
+    out: list = [None] * len(comps)
+    mid = id(model.segments)
+    for i, c in enumerate(comps):
+        key = (mid, c.grid.shape, c.grid.tobytes())
+        keys.append(key)
+        hit = _CAND_CACHE.get(key)
+        if hit is not None:
+            _CAND_CACHE.move_to_end(key)
+            out[i] = hit
+        else:
+            miss_idx.append(i)
+    if miss_idx:
+        feats = featurize_many([comps[i].grid for i in miss_idx])
+        ratios = np.array(
+            [comps[i].width / comps[i].height for i in miss_idx], dtype=np.float64
+        )
+        orders = _rank_candidates(model, feats, ratios)
+        for j, i in enumerate(miss_idx):
+            out[i] = orders[j]
+            _CAND_CACHE[keys[i]] = orders[j]
+        while len(_CAND_CACHE) > _CAND_CACHE_MAX:
+            _CAND_CACHE.popitem(last=False)
+    return out
 
 
 def scan_grid(grid: np.ndarray, model: FontModel) -> list[tuple[int, list[ImageLetter]]]:
@@ -131,12 +181,9 @@ def scan_grid(grid: np.ndarray, model: FontModel) -> list[tuple[int, list[ImageL
     bounds = line_bounds(
         rows_populated(grid), model.config.max_percent_diff_to_merge
     )
-    # G2/G3/G5 — components in discovery order, featurized
+    # G2/G3/G5 — components in discovery order, featurized + ranked
     comps = connected_components(grid)
-    feats = featurize_many([c.grid for c in comps])
-    ratios = np.array([c.width / c.height for c in comps], dtype=np.float64)
-    if comps:
-        order, scores = _match_all(feats, ratios, model)
+    cands = _candidates_for(comps, model)
 
     # J2 — line assignment: lines sorted by rounded center; each remaining
     # glyph whose vertical center falls in-bounds is consumed in discovery
@@ -157,8 +204,8 @@ def scan_grid(grid: np.ndarray, model: FontModel) -> list[tuple[int, list[ImageL
             if not (top <= center <= bottom):
                 still.append(ci)
                 continue
-            cand = order[ci]
-            head = int(cand[0])
+            order = cands[ci]
+            head = int(order[0])
             letter, mod = model.letters[head]
             il = ImageLetter(
                 letter, mod, c.x, c.y, c.width, c.height,
@@ -167,14 +214,7 @@ def scan_grid(grid: np.ndarray, model: FontModel) -> list[tuple[int, list[ImageL
                 float(model.min_center[head]), float(model.max_center[head]),
             )
             il.center_offset = center - c.y
-            il.closest = [
-                (
-                    model.letters[int(j)][0], model.letters[int(j)][1],
-                    float(model.avg_width[int(j)]), float(model.avg_height[int(j)]),
-                    float(scores[ci, int(j)]),
-                )
-                for j in cand[1:]
-            ]
+            il.attach_candidates(order, model)
             matched.append(il)
         remaining = still
         if not matched:
@@ -208,3 +248,9 @@ def scan_image_bytes(png: bytes, model: FontModel) -> str:
     from ..codecs.png import decode_png
 
     return render_text(scan_grid(binarize(decode_png(png)), model))
+
+
+__all__ = [
+    "ImageLetter", "scan_grid", "render_text", "scan_image_bytes",
+    "featurize",  # re-export for kernel consumers
+]
