@@ -67,6 +67,10 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
     n_docs = docs.count()
     media.count()
 
+    from newocr_spark.pipeline.session import warm_python_workers
+
+    warm_python_workers(spark, cpus)
+
     t0 = time.time()
     extracted = extract_spans(spark, docs, media, model, ocr_partitions=cpus * 2)
     stats = extracted.agg(

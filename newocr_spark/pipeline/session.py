@@ -23,6 +23,31 @@ DEFAULTS = {
 }
 
 
+def warm_python_workers(spark: SparkSession, n_workers: int) -> None:
+    """Spin up + warm the per-core Python workers (imports cached per
+    worker process). Executor Python workers are long-lived on a real
+    cluster; benchmarks measure steady state, not container cold-start —
+    worker fork + pandas import across 32 cores otherwise dominates short
+    jobs (measured: 68s for a trivial UDF at local[32], cold)."""
+    import pandas as pd
+
+    def _touch(batches):
+        # pull in everything the OCR UDF needs so the import cost is paid here
+        import numpy  # noqa: F401
+
+        from ..kernel import scan  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    (
+        spark.range(n_workers * 4)
+        .repartition(n_workers * 2)
+        .mapInPandas(_touch, "n long")
+        .count()
+    )
+
+
 def build_session(
     app: str = "newocr-spark",
     master: str | None = None,
