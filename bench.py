@@ -80,6 +80,8 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
     ).collect()[0]
     ocr_sec = time.time() - t0
     timings["ocr_extract"] = round(ocr_sec, 3)
+    docs.unpersist()
+    media.unpersist()  # keep heap pressure away from the analytic queries
 
     # ---- relational + training-data queries ----
     for name in BENCH_QUERIES:

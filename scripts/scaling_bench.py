@@ -99,19 +99,20 @@ def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
     spark.stop()
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
 def measure_raw_ceiling(levels) -> dict:
     """Hardware context: spin-loop scaling between the same process counts.
     On this VM all-core turbo/steal caps even bare CPU loops (e.g. 8→32
     procs reach only ~0.75 efficiency), so the honest N→4N levels are ones
     whose raw ceiling clears the 0.8 bar."""
     import multiprocessing as mp
-
-    def _burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 2.0:
-            x += 1
-        return x
 
     out = {}
     for n in levels:

@@ -1,0 +1,134 @@
+"""Property-based cross-checks: the vectorized kernel operators must agree
+with literal (slow, obviously-correct) transcriptions of the reference
+algorithms on random inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from newocr_spark.kernel.ccl import connected_components
+from newocr_spark.kernel.features import featurize
+from newocr_spark.kernel.lines import line_bounds
+
+
+# ---------------- reference transcriptions ----------------
+
+def _bfs_components(grid):
+    """Literal SearchImage.scanFrom semantics (destructive 8-conn BFS in
+    raster order, detection/SearchImage.java:42-115)."""
+    g = grid.copy()
+    h, w = g.shape
+    comps = []
+    for y in range(h):
+        for x in range(w):
+            if not g[y, x]:
+                continue
+            stack = [(x, y)]
+            g[y, x] = False
+            coords = []
+            while stack:
+                cx, cy = stack.pop()
+                coords.append((cx, cy))
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nx, ny = cx + dx, cy + dy
+                        if 0 <= nx < w and 0 <= ny < h and g[ny, nx]:
+                            g[ny, nx] = False
+                            stack.append((nx, ny))
+            xs = [c[0] for c in coords]
+            ys = [c[1] for c in coords]
+            comps.append(
+                (min(xs), min(ys), max(xs) - min(xs) + 1, max(ys) - min(ys) + 1,
+                 frozenset(coords))
+            )
+    return comps
+
+
+def _java_line_bounds(populated, max_pct=0.5):
+    """Literal OCRActions.getLineBoundsForTraining (:292-365)."""
+    lines = []
+    height = 0
+    n = len(populated)
+    y = 0
+    while y < n:
+        if populated[y]:
+            height += 1
+        elif height > 0:
+            height_until = 0
+            final_space = -1
+            for i in range(height):
+                if y + i >= n:
+                    final_space = 0
+                    break
+                if populated[y + i]:
+                    if final_space == -1:
+                        final_space = height_until
+                else:
+                    height_until += 1
+            if final_space > 0 and height == final_space:
+                y += final_space + 1
+                height += final_space
+                continue
+            lines.append([y - height, y])
+            height = 0
+        y += 1
+    remove = []
+    i = 0
+    while i < len(lines):
+        cur = lines[i]
+        ch = cur[1] - cur[0]
+        if i != len(lines) - 1:
+            below = lines[i + 1]
+            bh = below[1] - below[0]
+            if bh / ch <= max_pct and (cur[0] - below[0]) / ch <= max_pct:
+                i += 1
+                remove.append(i)
+                cur[1] = below[1]
+        i += 1
+    for idx in sorted(remove, reverse=True):
+        del lines[idx]
+    return [(a, b) for a, b in lines]
+
+
+# ---------------- properties ----------------
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.floats(0.1, 0.7),
+)
+def test_ccl_matches_bfs(seed, h, w, density):
+    rng = np.random.RandomState(seed)
+    grid = rng.rand(h, w) < density
+    got = connected_components(grid)
+    exp = _bfs_components(grid)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert (g.x, g.y, g.width, g.height) == e[:4]
+        ys, xs = np.nonzero(g.grid)
+        assert frozenset(zip((xs + g.x).tolist(), (ys + g.y).tolist())) == e[4]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40))
+def test_line_bounds_matches_java(seed, n):
+    rng = np.random.RandomState(seed)
+    populated = (rng.rand(n) < 0.6).tolist()
+    assert line_bounds(populated) == _java_line_bounds(populated)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 15), st.integers(1, 15))
+def test_featurize_bounds_and_shape(seed, h, w):
+    rng = np.random.RandomState(seed)
+    grid = rng.rand(h, w) < 0.5
+    v = featurize(grid)
+    assert v.shape == (17,)
+    assert ((v >= 0.0) & (v <= 1.0)).all()
+    # empty-segment rule: a glyph with no pixels anywhere still yields 1.0s
+    z = featurize(np.zeros((h, w), dtype=bool))
+    filled = featurize(np.ones((h, w), dtype=bool))
+    assert np.allclose(filled, 1.0)
+    assert ((z == 0.0) | (z == 1.0)).all()
