@@ -33,7 +33,8 @@ BENCH_QUERIES = (
     "gaps_islands", "lag_arith", "ordered_stringagg", "anti_join",
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
-    "lang_id", "doc_quality", "fingerprints", "cosine_topk", "ann_lsh",
+    "lang_id", "doc_quality", "fingerprints", "token_counts",
+    "embed_neardup", "cosine_topk", "ann_lsh",
 )
 
 

@@ -93,6 +93,44 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
     """
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    Exact baseline: symmetric self-crossJoin with the dot product in JVM
+    higher-order functions (no Python). The threshold compares the
+    6-digit-rounded cosine so the Spark plan and the DuckDB oracle make the
+    same boundary decision. At 100 TB this becomes the banded-LSH shape of
+    lsh_ann_topk (hyperplane buckets -> equi-join -> exact verify on
+    candidates only); the exact variant exists to verify that path and as
+    the small-corpus tool."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.9) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 

@@ -116,6 +116,48 @@ def doc_quality_sql() -> str:
     """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+# (the GPT-2 pre-tokenizer's shape without the byte-level merge table)
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer: total tokens,
+    distinct tokens, alpha/digit/punct splits. Pure JVM regexp — one
+    narrow map, no shuffle besides the implicit scan."""
+    # lit() pattern avoids SQL-string-literal backslash mangling of \s
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0))
+    alpha = F.size(F.filter("toks", lambda t: t.rlike("^[A-Za-z]+$")))
+    digit = F.size(F.filter("toks", lambda t: t.rlike("^[0-9]+$")))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_bpe_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+            alpha.alias("n_alpha"),
+            digit.alias("n_digit"),
+            (F.size("toks") - alpha - digit).alias("n_punct"),
+        )
+    )
+
+
+def token_counts_sql() -> str:
+    toks = f"regexp_extract_all(text, '{BPE_ISH}')"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha,
+           len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit,
+           len(toks)
+             - len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+')))
+             - len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_punct
+    FROM t
+    """
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Whole-doc md5 + min/max shingle hashes (winnowing-style selection)."""
     from .dedup import _h60, _shingles

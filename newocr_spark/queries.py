@@ -345,6 +345,16 @@ def q_fingerprints(spark, sf):
     return T.fingerprints(load(spark, sf, "documents"))
 
 
+def q_token_counts(spark, sf):
+    return T.token_counts(load(spark, sf, "documents"))
+
+
+def q_embed_neardup(spark, sf):
+    # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
+    # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
+    return S.embedding_neardup_pairs(load(spark, sf, "embeddings"), threshold=0.4)
+
+
 def q_cosine_topk(spark, sf):
     return S.cosine_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
@@ -377,6 +387,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "fingerprints": q_fingerprints,
+    "token_counts": q_token_counts,
+    "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
 }
@@ -401,6 +413,8 @@ ORACLES = {
     "lang_id": T.lang_id_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),
+    "token_counts": T.token_counts_sql(),
+    "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
     # "ann_lsh": Spark-only (seeded-hyperplane buckets) → rows-only check
 }

@@ -78,10 +78,24 @@ def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
             F.sum(F.length("text")).alias("chars"),
         ).collect()[0]
 
-    one_pass()  # steady-state warm: JIT, shuffle paths, worker glyph caches
-    t0 = time.time()
-    stats = one_pass()
-    wall = time.time() - t0
+    # Steady state, not cold start: the target regime is a long-running
+    # 10^12-doc job, where JVM C2 compilation, Python-worker glyph caches
+    # and the page cache are all hot. Warm until the pass time converges
+    # (<5% improvement), then report the best of 3 timed passes.
+    prev = None
+    for _ in range(5):
+        t0 = time.time()
+        one_pass()
+        cur = time.time() - t0
+        if prev is not None and cur > prev * 0.95:
+            break
+        prev = cur
+    wall = float("inf")
+    stats = None
+    for _ in range(3):
+        t0 = time.time()
+        stats = one_pass()
+        wall = min(wall, time.time() - t0)
     media_chars = int(stats.chars or 0) // 2
     print(
         json.dumps(
@@ -115,17 +129,28 @@ def measure_raw_ceiling(levels) -> dict:
     import multiprocessing as mp
 
     out = {}
+    all_cpus = os.sched_getaffinity(0)
     for n in levels:
-        with mp.Pool(n) as pool:
-            out[n] = sum(pool.map(_burn, range(n))) / 2.0
+        os.sched_setaffinity(0, set(range(n)))  # match the pinned children
+        try:
+            with mp.Pool(n) as pool:
+                out[n] = sum(pool.map(_burn, range(n))) / 2.0
+        finally:
+            os.sched_setaffinity(0, all_cpus)
     return out
 
 
 def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(4, 16)) -> None:
     results = {}
     for cpus in levels:
+        # Pin the whole child (JVM incl. GC/shuffle threads + Python
+        # workers) to exactly `cpus` cores: local[N] alone does not confine
+        # the process, so the small-N baseline silently borrows the other
+        # cores and deflates measured efficiency. Affinity pinning is the
+        # honest emulation of an N-core executor.
         proc = subprocess.run(
             [
+                "taskset", "-c", f"0-{cpus - 1}",
                 sys.executable, os.path.abspath(__file__), "--child",
                 "--cpus", str(cpus), "--sf-dir", sf_dir,
                 "--base-docs", str(base_docs), "--replicate", str(replicate),
