@@ -34,7 +34,7 @@ BENCH_QUERIES = (
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
-    "embed_neardup", "cosine_topk", "ann_lsh",
+    "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
 )
 
 

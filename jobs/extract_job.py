@@ -31,6 +31,11 @@ def main() -> None:
     p.add_argument("--group-size", type=int, default=64)
     p.add_argument("--model-dir", default=None)
     p.add_argument("--ocr-partitions", type=int, default=None)
+    p.add_argument(
+        "--media-join", choices=("shuffle", "broadcast_meta"), default="shuffle",
+        help="broadcast_meta avoids shuffling image bytes; requires each "
+        "bucket group's media-span metadata to fit the broadcast budget",
+    )
     args = p.parse_args()
 
     from newocr_spark.artifacts import get_model
@@ -46,7 +51,7 @@ def main() -> None:
     runner = ExtractRunner(
         spark, model, args.output, StateTable(spark, args.state),
         n_buckets=args.buckets, group_size=args.group_size,
-        ocr_partitions=ocr_parts,
+        ocr_partitions=ocr_parts, media_join=args.media_join,
     )
     docs = spark.read.parquet(args.documents)
     media = spark.read.parquet(args.media)

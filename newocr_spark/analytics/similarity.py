@@ -4,11 +4,20 @@ cosine_topk — exact brute-force baseline: query set × corpus via a
 broadcast-able crossJoin; the dot product stays JVM-side in higher-order
 functions (zip_with + aggregate), no Python in the loop.
 
-lsh_ann_topk — the scale path: random-hyperplane LSH buckets (deterministic
+lsh_ann_topk — a scale path: random-hyperplane LSH buckets (deterministic
 seeded hyperplanes broadcast as numpy, signs computed in a vectorized
 pandas UDF), candidates only within matching buckets, exact re-rank on the
 candidates. At 100 TB the bucket join replaces the full crossJoin; recall
 is tunable via n_planes/n_tables.
+
+ivf_ann_topk — the other classic scale path: IVF (inverted-file) coarse
+quantization. Centroids come from a deterministic sampled k-means
+(Lloyd iterations in numpy on driver-collected sample — the sample is tiny,
+the corpus is not), broadcast; each vector is assigned to its nearest
+centroid in a vectorized pandas UDF; queries probe the nprobe nearest
+cells and exact-re-rank within them. At 100 TB the centroid table is a
+broadcast dim and the cell assignment is a narrow map; the probe join is
+an equi-join on cell id.
 """
 
 from __future__ import annotations
@@ -139,33 +148,141 @@ def lsh_ann_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets + exact re-rank in-bucket."""
+    """ANN via multi-table random-hyperplane LSH + exact re-rank.
+
+    Single-table sign-LSH has vanishing recall at moderate cosine (the
+    per-plane agreement probability p = 1 - theta/pi compounds: p^planes);
+    the classic remedy is `n_tables` independent hash tables whose
+    candidate sets are unioned — recall 1-(1-p^planes)^tables, tunable
+    without touching the join shape. Each vector emits one (table, bucket)
+    row; candidates come from an equi-join on (table, bucket); duplicate
+    (query, neighbor) pairs collapse before the exact re-rank, so each
+    surviving pair is scored once."""
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
-    planes_b = spark.sparkContext.broadcast(_hyperplanes(dim, n_planes, seed))
+    # one (n_planes, dim) slab per table, all from one seeded draw
+    planes_b = spark.sparkContext.broadcast(
+        _hyperplanes(dim, n_planes * n_tables, seed).reshape(n_tables, n_planes, dim)
+    )
 
-    @F.pandas_udf(LongType())
-    def bucket_of(emb: pd.Series) -> pd.Series:
-        planes = planes_b.value
+    @F.pandas_udf("array<long>")
+    def buckets_of(emb: pd.Series) -> pd.Series:
+        planes = planes_b.value  # (tables, planes, dim)
         mat = np.stack(emb.to_numpy())  # (batch, dim) — one matmul per batch
-        signs = (mat @ planes.T) > 0
-        powers = 1 << np.arange(planes.shape[0], dtype=np.int64)
-        return pd.Series((signs @ powers).astype(np.int64))
+        signs = np.einsum("bd,tpd->btp", mat, planes) > 0
+        powers = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        return pd.Series(list((signs @ powers).astype(np.int64)))  # (batch, tables)
 
-    bucketed = embeddings.withColumn("bucket", bucket_of("embedding"))
+    bucketed = embeddings.select(
+        "vec_id", "embedding",
+        F.posexplode(buckets_of("embedding")).alias("table", "bucket"),
+    )
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        "table", "bucket",
     )
     c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+        "table", "bucket",
+    )
+    cands = (
+        q.join(c, ["table", "bucket"])  # equi-join replaces the crossJoin
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")  # union of tables, score once
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+    )
+    scored = cands.withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on an L2-normalized sample (numpy)."""
+    rng = np.random.RandomState(seed)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)  # cosine == dot, normalized
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN via IVF coarse quantization: sampled-k-means centroids
+    (broadcast) -> vectorized cell assignment -> probe the nprobe nearest
+    cells per query -> exact cosine re-rank within probed cells.
+
+    The corpus-side work is one narrow map (cell id per vector); the probe
+    is an equi-join on cell — the IVF analogue of the LSH band join. On a
+    real deployment the centroids are trained once offline and stored as a
+    tiny dim table."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    sample_rows = (
+        embeddings.select("embedding").limit(sample_size).collect()
+    )  # bounded driver pull: the k-means SAMPLE, never the corpus
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    cent_b = spark.sparkContext.broadcast(
+        _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
+    )
+
+    @F.pandas_udf(LongType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        cent = cent_b.value
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        cent = cent_b.value
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        cell_of("embedding").alias("cell"),
+    )
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probe_cells("embedding")).alias("cell"),
+        )
     )
     scored = (
-        q.join(c, "bucket")  # equi-join on bucket replaces the crossJoin
+        queries.join(corpus, "cell")  # equi-join on IVF cell
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
     )

@@ -101,9 +101,26 @@ def extract_spans(
     media: DataFrame,
     model: FontModel,
     ocr_partitions: int | None = None,
+    media_join: str = "broadcast_meta",
 ) -> DataFrame:
     """documents (doc_id, spans) + media (media_ref, png) → extracted spans
-    (doc_id, seq, kind, text, media_ref, offset, glyph_count, error)."""
+    (doc_id, seq, kind, text, media_ref, offset, glyph_count, error).
+
+    media_join picks the physical strategy for attaching image bytes:
+
+    * ``broadcast_meta`` (default): broadcast the tiny (doc_id, offset,
+      media_ref) span-metadata side onto the media table, so the IMAGE
+      BYTES NEVER SHUFFLE — OCR runs on media's natural size-balanced
+      partitioning (parquet splits are bounded by maxPartitionBytes, so
+      per-task byte volume is already even). Missing media is detected by
+      a metadata-only anti-join (no bytes move) and surfaces as the same
+      error rows the shuffle path produces. Right whenever the media-span
+      metadata of the processed slice fits the broadcast budget — true for
+      per-bucket-group processing (pipeline/state.py) at any corpus size.
+    * ``shuffle``: spans-side left join + explicit salted repartition on
+      xxhash64(media_ref). The unbounded-slice fallback; also the shape a
+      bucketed/co-located table layout turns into a zero-exchange SMJ.
+    """
     bmodel = spark.sparkContext.broadcast(model)
 
     spans = documents.select(
@@ -122,16 +139,28 @@ def extract_spans(
         )
     )
 
-    media_spans = (
-        spans.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "png"), "media_ref", "left")
+    meta = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
     )
-    if ocr_partitions:
-        # spread size skew: hash on the (unique) media_ref, never doc_id alone
-        media_spans = media_spans.repartition(
-            ocr_partitions, F.xxhash64("media_ref")
+    if media_join == "broadcast_meta":
+        # bytes stay put: inner-join media → broadcast(meta); missing media
+        # recovered via metadata-only anti-join (null png → error row)
+        with_png = media.select("media_ref", "png").join(
+            F.broadcast(meta), "media_ref", "inner"
+        ).select("doc_id", "offset", "media_ref", "png")
+        missing = meta.join(
+            media.select("media_ref"), "media_ref", "left_anti"
+        ).select(
+            "doc_id", "offset", "media_ref", F.lit(None).cast("binary").alias("png")
         )
+        media_spans = with_png.unionByName(missing)
+    else:
+        media_spans = meta.join(media.select("media_ref", "png"), "media_ref", "left")
+        if ocr_partitions:
+            # spread size skew: hash the (unique) media_ref, never doc_id alone
+            media_spans = media_spans.repartition(
+                ocr_partitions, F.xxhash64("media_ref")
+            )
 
     ocr_spans = media_spans.mapInPandas(make_ocr_udf(bmodel), OCR_OUTPUT_SCHEMA)
 

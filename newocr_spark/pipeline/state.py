@@ -81,6 +81,10 @@ class ExtractRunner:
     n_buckets: int = 16
     group_size: int = 4
     ocr_partitions: int | None = None
+    # "shuffle" is the unbounded-group-safe default; pass "broadcast_meta"
+    # when a group's media-span metadata fits the broadcast budget
+    # (n_buckets large enough), which keeps image bytes from shuffling
+    media_join: str = "shuffle"
     # test hook: raise after committing this many groups (simulated crash)
     fail_after_groups: int | None = None
 
@@ -107,7 +111,7 @@ class ExtractRunner:
             part = docs_b.filter(F.col("bucket").isin(group))
             extracted = extract_spans(
                 spark, part.drop("bucket"), media, self.model,
-                ocr_partitions=self.ocr_partitions,
+                ocr_partitions=self.ocr_partitions, media_join=self.media_join,
             ).withColumn(
                 "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
             )

@@ -363,6 +363,10 @@ def q_ann_lsh(spark, sf):  # Spark-only scale path (rows-only check)
     return S.lsh_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def q_ann_ivf(spark, sf):  # Spark-only scale path (rows-only check)
+    return S.ivf_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -391,6 +395,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {

@@ -52,3 +52,39 @@ def test_video_frame_sample_stub(spark, media_df):
     frames = video_frame_sample(media_df, every_n=10, max_frames=3)
     agg = frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()
     assert all(1 <= r.n <= 3 for r in agg)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall: both approximate paths (LSH buckets, IVF cells) vs exact top-k
+# ---------------------------------------------------------------------------
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_recall_vs_exact(spark):
+    from newocr_spark.analytics.similarity import (
+        cosine_topk, ivf_ann_topk, lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=5))
+    for name, ann in (
+        ("lsh", lsh_ann_topk(emb, n_queries=5, k=5)),
+        ("ivf", ivf_ann_topk(emb, n_queries=5, k=5)),
+    ):
+        pdf = ann.toPandas()
+        # shape contract: ranks are 1..k' contiguous per query, k' <= 5
+        for qid, grp in pdf.groupby("query_id"):
+            assert sorted(grp["rank"]) == list(range(1, len(grp) + 1)), name
+            assert len(grp) <= 5, name
+        approx = _topk_sets(ann)
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        recall = hits / total
+        # sanity floor: the probe structure must beat random chance by far
+        # (random 5-of-500 ~ 1%); exact parameters are tuned for speed
+        assert recall >= 0.2, f"{name} recall {recall:.2f}"

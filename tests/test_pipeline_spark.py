@@ -100,3 +100,40 @@ def test_idempotent_rerun(spark, font_model, fixture_dir, tmp_path):
     stats = runner.run(docs, media, input_snapshot="s", run_id="r2")
     assert stats["groups_run"] == 0
     assert runner.read_output().count() == n1
+
+
+@pytest.mark.parametrize("strategy", ["broadcast_meta", "shuffle"])
+def test_missing_media_error_rows(spark, font_model, fixture_dir, strategy):
+    """A media span whose media_ref has no media row must surface as an
+    error row (never silently vanish) — identically in both join
+    strategies."""
+    from newocr_spark.pipeline.extract import extract_spans
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    # drop one referenced media row
+    victim = media.select("media_ref").first().media_ref
+    pruned = media.filter(F.col("media_ref") != victim)
+
+    extracted = extract_spans(
+        spark, docs, pruned, font_model, ocr_partitions=8, media_join=strategy
+    )
+    errs = extracted.filter(F.col("error").isNotNull()).collect()
+    assert [e.media_ref for e in errs] == [victim]
+    assert "missing media bytes" in errs[0].error
+    # every other span still present and clean
+    total = extracted.count()
+    golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
+    assert total == golden.count()
+
+
+def test_join_strategies_agree(spark, font_model, fixture_dir):
+    """broadcast_meta and shuffle produce identical span sequences."""
+    from newocr_spark.pipeline.extract import extract_spans
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    a = extract_spans(spark, docs, media, font_model, media_join="broadcast_meta")
+    b = extract_spans(spark, docs, media, font_model, ocr_partitions=8,
+                      media_join="shuffle")
+    assert _spans_by_doc(a) == _spans_by_doc(b)
