@@ -29,25 +29,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
-def _cosine_expr(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
+def _norm_expr(a: str):
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, v: acc + v,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
+
+
+def _dot_expr(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return dot / (na * nb)
+
+
+def _cosine_expr(a: str, b: str):
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
@@ -61,7 +61,7 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))  # broadcast the tiny query set
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
         .select("query_id", "neighbor_id", "cosine")
@@ -111,13 +111,30 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> Da
     same boundary decision. At 100 TB this becomes the banded-LSH shape of
     lsh_ann_topk (hyperplane buckets -> equi-join -> exact verify on
     candidates only); the exact variant exists to verify that path and as
-    the small-corpus tool."""
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    the small-corpus tool.
+
+    The per-vector norm is computed ONCE per side before the crossJoin
+    (identical float-op order to the inline formula, so still bit-equal to
+    the oracle) — the O(n^2) pair loop then only evaluates the dot."""
+    withn = embeddings.select(
+        "vec_id", "embedding", _norm_expr("embedding").alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))  # pin BroadcastNestedLoop: one pass over
+        # the stream side; never CartesianProduct's per-partition-pair rescan
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
