@@ -37,21 +37,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_spans(spark, docs, media, model, ocr_partitions=8)
 
 
-def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+OCR_WIDE_MAX_DOCS = 60
+
+
+def _ocr_extract_face(
+    spark: SparkSession, sf_dir: str, font: str, max_docs: int
+) -> DataFrame:
     from newocr_spark.artifacts import get_model
     from newocr_spark.fixtures import corpus_fixture_tables
     from newocr_spark.pipeline.extract import extract_spans
 
-    model = get_model()
-    docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=OCR_MAX_DOCS)
+    model = get_model(font)
+    face = None
+    if font != "SparkGrid":
+        from newocr_spark.font.glyphs import FACES
+
+        face = FACES[font]()
+    docs, media = corpus_fixture_tables(
+        spark, sf_dir, model, max_docs=max_docs, face=face
+    )
     return extract_spans(spark, docs, media, model, ocr_partitions=16).select(
         "doc_id", "seq", "kind", "text", "media_ref", "offset"
     )
 
 
-OCR_EXTRACT_SQL = f"""
+def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ocr_extract_face(spark, sf_dir, "SparkGrid", OCR_MAX_DOCS)
+
+
+def _ocr_extract_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end extraction, second trained font (SparkGridWide) —
+    recognition must still be exact, so the same SQL oracle shape applies."""
+    return _ocr_extract_face(spark, sf_dir, "SparkGridWide", OCR_WIDE_MAX_DOCS)
+
+
+def _ocr_sql(max_docs: int) -> str:
+    return f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < {OCR_MAX_DOCS}
+  SELECT doc_id, text FROM documents WHERE doc_id < {max_docs}
 )
 SELECT printf('doc-%06d', doc_id) AS doc_id, 0 AS seq, 'text' AS kind,
        text, CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset"
@@ -63,11 +86,15 @@ FROM base
 """
 
 
+OCR_EXTRACT_SQL = _ocr_sql(OCR_MAX_DOCS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from newocr_spark.queries import QUERIES
 
     out = dict(QUERIES)
     out["ocr_extract"] = _ocr_extract
+    out["ocr_extract_wide"] = _ocr_extract_wide
     return out
 
 
@@ -76,4 +103,5 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLES)
     out["ocr_extract"] = OCR_EXTRACT_SQL
+    out["ocr_extract_wide"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     return out

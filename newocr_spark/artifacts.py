@@ -1,32 +1,40 @@
 """Pretrained model artifact management.
 
-The SparkGrid font model is fully deterministic (seeded glyphs, fixed
+The SparkGrid font models are fully deterministic (seeded glyphs, fixed
 trainer), so the trained tables are committed under newocr_spark/data/ and
 loaded at runtime; train_font() regenerates bit-identical tables (asserted
-in tests/test_recognition.py)."""
+in tests/test_recognition.py). Two faces are shipped — the engine's
+analogue of the reference's per-font trained DBs (Accuracy.java trains one
+HSQLDB per font): "SparkGrid" and the width-doubled "SparkGridWide"."""
 
 from __future__ import annotations
 
 import os
 
-from .model import FontModel
+from .model import FontConfig, FontModel
 
-_MODEL: FontModel | None = None
+_MODELS: dict[str, FontModel] = {}
 
-DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "font_model")
+_BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+DATA_DIR = os.path.join(_BASE, "font_model")  # default face (back-compat)
+_DIRS = {
+    "SparkGrid": DATA_DIR,
+    "SparkGridWide": os.path.join(_BASE, "font_model_wide"),
+}
 
 
-def get_model() -> FontModel:
-    global _MODEL
-    if _MODEL is None:
-        if os.path.exists(os.path.join(DATA_DIR, "font_model.parquet")):
-            _MODEL = FontModel.load(DATA_DIR)
+def get_model(name: str = "SparkGrid") -> FontModel:
+    if name not in _MODELS:
+        data_dir = _DIRS[name]
+        if os.path.exists(os.path.join(data_dir, "font_model.parquet")):
+            _MODELS[name] = FontModel.load(data_dir, config=FontConfig(name=name))
         else:
+            from .font.glyphs import FACES
             from .font.train import train_font
 
-            _MODEL = train_font()
+            _MODELS[name] = train_font(face=FACES[name]())
             try:
-                _MODEL.save(DATA_DIR)
+                _MODELS[name].save(data_dir)
             except OSError:
                 pass  # read-only deployments train in-memory
-    return _MODEL
+    return _MODELS[name]

@@ -30,12 +30,16 @@ from .kernel.grid import binarize
 from .kernel.scan import render_text, scan_grid
 from .model import FontModel
 
-def corpus_fixture_tables(spark, sf_dir: str, model: FontModel, max_docs: int = 200):
+def corpus_fixture_tables(
+    spark, sf_dir: str, model: FontModel, max_docs: int = 200, face=None
+):
     """Derive the interleaved documents+media tables from the driver's text
     corpus (sf_dir/documents.parquet): per doc, one text span (the original
     text) + one media span rendering that same text (single line, scale
     1 + doc_id % 2). Deterministic, so the expected output is expressible
-    in pure SQL over the same corpus (see __spark_entry__.oracle_sql)."""
+    in pure SQL over the same corpus (see __spark_entry__.oracle_sql).
+    `face` (glyphs.FontFace) selects the rendering font (default SparkGrid);
+    pair it with the matching trained model."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         ArrayType, BinaryType, IntegerType, StringType, StructField, StructType,
@@ -52,7 +56,10 @@ def corpus_fixture_tables(spark, sf_dir: str, model: FontModel, max_docs: int = 
         doc_id = f"doc-{r.doc_id:06d}"
         media_ref = f"m-{r.doc_id:06d}"
         scale = 1 + int(r.doc_id) % 2
-        png = encode_png(render_text_image([r.text], scale=scale))
+        if face is None:
+            png = encode_png(render_text_image([r.text], scale=scale))
+        else:
+            png = encode_png(render_text_image([r.text], scale=scale, face=face))
         media_rows.append((media_ref, bytearray(png)))
         doc_rows.append(
             (

@@ -272,3 +272,54 @@ def _select_glyphs() -> dict[str, np.ndarray]:
 GLYPHS: dict[str, np.ndarray] = _select_glyphs()
 
 assert len(GLYPHS) == 95 - 1, f"expected 94 printable glyphs, got {len(GLYPHS)}"
+
+
+# ---------------------------------------------------------------------------
+# Font faces: the engine's analogue of the reference's multi-font support
+# (one trained DB + HOCON config per font — HOCONFontConfiguration.java).
+# A face bundles the glyph bitmaps with the font's spacing metrics; the
+# trainer/scanner are face-agnostic, exactly as the reference's pipeline is
+# font-agnostic once trained.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class FontFace(NamedTuple):
+    name: str
+    glyphs: dict
+    space_width: int
+    tracking: int
+
+
+DEFAULT_FACE = FontFace("SparkGrid", GLYPHS, SPACE_WIDTH, TRACKING)
+
+_WIDE: FontFace | None = None
+
+
+def _widen(g: np.ndarray) -> np.ndarray:
+    """1.5x horizontal stretch: every even column duplicated ([2,1,2,1,…]
+    repeat pattern). Duplicating columns preserves 8-connectivity, so every
+    glyph keeps its component structure."""
+    pattern = np.where(np.arange(g.shape[1]) % 2 == 0, 2, 1)
+    return np.repeat(g, pattern, axis=1)
+
+
+def wide_face() -> FontFace:
+    """SparkGridWide: glyphs (and spacing metrics) stretched 1.5x in X.
+    Distinct trained geometry end-to-end: aspect ratios, space ratio,
+    apostrophe x-gap ratio, custom-space ratios all differ from SparkGrid,
+    while glyph connectivity and the Y-axis merge-rule gaps are preserved.
+    1.5x (not 2x) because the reference's apostrophe gate replicates a unit
+    quirk — the trained ratio uses the inter-piece GAP but the scan gate
+    compares x-to-x distance against height*ratio (OCRTrain.java:163-165 vs
+    ApostropheMergeRule.java:88-89) — and at 2x stretch no trained ratio
+    can satisfy it (threshold shrinks as distance grows)."""
+    global _WIDE
+    if _WIDE is None:
+        wide = {ch: _widen(g) for ch, g in GLYPHS.items()}
+        _WIDE = FontFace("SparkGridWide", wide, SPACE_WIDTH + 3, TRACKING + 1)
+    return _WIDE
+
+
+FACES = {"SparkGrid": lambda: DEFAULT_FACE, "SparkGridWide": wide_face}

@@ -19,8 +19,8 @@ from __future__ import annotations
 import numpy as np
 
 from .glyphs import (
-    CELL_HEIGHT, GLYPHS, LINE_GAP, MARGIN_LEFT, SPACE_WIDTH, TRACKING,
-    pt_to_scale,
+    CELL_HEIGHT, DEFAULT_FACE, FontFace, GLYPHS, LINE_GAP, MARGIN_LEFT,
+    SPACE_WIDTH, TRACKING, pt_to_scale,
 )
 
 # The reference's scan/train alphabets (recognition/OCRScan.java:39,
@@ -38,26 +38,30 @@ TRAIN_STRING = (
 TRAIN_SCALES = (1, 2, 3, 4, 5, 6, 7, 8)
 
 
-def render_line(text: str) -> np.ndarray:
+def render_line(text: str, face: FontFace = DEFAULT_FACE) -> np.ndarray:
     """Render one text line at design scale 1 → bool grid (16, w)."""
     cols: list[np.ndarray] = []
-    track = np.zeros((CELL_HEIGHT, TRACKING), dtype=bool)
+    track = np.zeros((CELL_HEIGHT, face.tracking), dtype=bool)
     first = True
     for ch in text:
         if ch == " ":
-            cols.append(np.zeros((CELL_HEIGHT, SPACE_WIDTH + TRACKING), dtype=bool))
+            cols.append(
+                np.zeros((CELL_HEIGHT, face.space_width + face.tracking), dtype=bool)
+            )
             first = True  # the space includes the following tracking
             continue
         if not first:
             cols.append(track)
-        cols.append(GLYPHS[ch])
+        cols.append(face.glyphs[ch])
         first = False
     if not cols:
         return np.zeros((CELL_HEIGHT, 1), dtype=bool)
     return np.concatenate(cols, axis=1)
 
 
-def render_text_image(lines: list[str], scale: int = 1) -> np.ndarray:
+def render_text_image(
+    lines: list[str], scale: int = 1, face: FontFace = DEFAULT_FACE
+) -> np.ndarray:
     """Render text lines → uint8 grayscale image (white 255 / black 0).
 
     Layout at design scale then integer-upscale via np.kron, so every
@@ -65,7 +69,7 @@ def render_text_image(lines: list[str], scale: int = 1) -> np.ndarray:
     Always pads a blank bottom row (the reference's line detector never
     flushes a run still open at the image edge — OCRActions.java:299-340).
     """
-    rendered = [render_line(ln) for ln in lines]
+    rendered = [render_line(ln, face) for ln in lines]
     width = max(r.shape[1] for r in rendered) + MARGIN_LEFT + 1
     rows: list[np.ndarray] = []
     gap = np.zeros((LINE_GAP, width), dtype=bool)
@@ -83,11 +87,11 @@ def render_text_image(lines: list[str], scale: int = 1) -> np.ndarray:
     return np.where(grid, np.uint8(0), np.uint8(255))
 
 
-def render_train_image() -> np.ndarray:
+def render_train_image(face: FontFace = DEFAULT_FACE) -> np.ndarray:
     """RAW_STRING at every training scale, ascending, one line per scale."""
     blocks: list[np.ndarray] = []
     for i, s in enumerate(TRAIN_SCALES):
-        img = render_text_image([RAW_STRING], scale=s)
+        img = render_text_image([RAW_STRING], scale=s, face=face)
         if i > 0:
             blocks.append(np.full((LINE_GAP, 1), 255, dtype=np.uint8))
         blocks.append(img)
@@ -99,7 +103,9 @@ def render_train_image() -> np.ndarray:
     return np.concatenate(padded, axis=0)
 
 
-def render_text_png(lines: list[str], scale: int = 1) -> bytes:
+def render_text_png(
+    lines: list[str], scale: int = 1, face: FontFace = DEFAULT_FACE
+) -> bytes:
     from ..codecs.png import encode_png
 
-    return encode_png(render_text_image(lines, scale))
+    return encode_png(render_text_image(lines, scale, face))

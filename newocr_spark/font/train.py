@@ -104,10 +104,14 @@ class _Trained:
             self.min_center = min(self.min_center, c)
 
 
-def train_font(config: FontConfig | None = None) -> FontModel:
-    """Render the training image and train — OCRTrain.trainImage walk."""
-    config = config or FontConfig()
-    grid = binarize(render_train_image())
+def train_font(config: FontConfig | None = None, face=None) -> FontModel:
+    """Render the training image and train — OCRTrain.trainImage walk.
+    `face` (glyphs.FontFace) selects the font; config.name defaults to it."""
+    from .glyphs import DEFAULT_FACE
+
+    face = face or DEFAULT_FACE
+    config = config or FontConfig(name=face.name)
+    grid = binarize(render_train_image(face))
     lines = _letters_during_training(grid, config)
     if len(lines) != len(TRAIN_SCALES):
         raise AssertionError(
