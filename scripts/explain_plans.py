@@ -21,9 +21,10 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 CHECKS = {
     "ocr_extract": (
-        "the kind filters reach the scan; one exchange (hashpartitioning on "
-        "xxhash64(media_ref)) feeds MapInPandas; final sort+window per doc",
-        ["MapInPandas", "Exchange"],
+        "broadcast_meta strategy: the tiny span-metadata side broadcasts "
+        "onto media (image bytes never shuffle), MapInPandas runs on the "
+        "media table's own partitioning; final sort+window per doc",
+        ["MapInPandas", "BroadcastHashJoin"],
     ),
     "broadcast_dim_join": (
         "part dim broadcast, partial aggregation before the shuffle",
@@ -41,6 +42,16 @@ CHECKS = {
         ["BroadcastHashJoin"],
     ),
     "minhash_lsh": ("equi-joins only (band,sig) — no cross product", ["SortMergeJoin", "Exchange"]),
+    "embed_neardup": (
+        "pinned BroadcastNestedLoopJoin (one pass over the stream side; "
+        "norms computed once per row below the join, not per pair)",
+        ["BroadcastNestedLoopJoin"],
+    ),
+    "ann_ivf": (
+        "IVF probe is an equi-join on cell id; centroid assignment is a "
+        "narrow ArrowEvalPython map, no cross product",
+        ["ArrowEvalPython"],
+    ),
 }
 
 
