@@ -50,3 +50,55 @@ def stream_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_metrics(
+    spark: SparkSession,
+    extracted_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    schema=None,
+    trigger_once: bool = True,
+):
+    """Watermarked event-time rollup over the extraction output stream:
+    per-window doc/glyph/error counts, tolerating late rows up to the
+    watermark (classic Structured Streaming state management — late data
+    beyond the delay is dropped, state for closed windows is evicted, so
+    the operator's memory is bounded on an unbounded stream).
+
+    Expects rows with a `committed_at` timestamp column (the state-table
+    sink writes one; batch outputs can synthesize it). Append output mode:
+    a window emits once, when the watermark passes its end."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(extracted_path).schema
+    stream = spark.readStream.schema(schema).parquet(extracted_path)
+    agg = (
+        stream.withWatermark("committed_at", watermark_delay)
+        .groupBy(F.window("committed_at", window_duration).alias("win"))
+        .agg(
+            F.count("*").alias("spans"),
+            # exact distinct is unsupported in streaming aggs; HLL sparse
+            # mode is exact at per-window doc counts this small anyway
+            F.approx_count_distinct("doc_id").alias("docs"),
+            F.sum("glyph_count").alias("glyphs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "spans", "docs", "glyphs", "errors",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

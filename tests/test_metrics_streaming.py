@@ -79,3 +79,115 @@ def test_stream_extract(spark, font_model, tmp_path):
     result = spark.read.parquet(out)
     golden = spark.read.parquet(f"{d}/golden_spans.parquet")
     assert result.count() == golden.count()
+
+
+def test_stream_incremental_pickup(spark, font_model, tmp_path):
+    """Second file drop: the checkpoint makes the stream process ONLY the
+    new file (file-source exactly-once), no reprocessing of batch one."""
+    from newocr_spark.fixtures import synth_fixture
+    from newocr_spark.pipeline.streaming import stream_extract
+    import os, shutil
+
+    d = str(tmp_path / "fx")
+    synth_fixture(d, n_docs=16, seed=11, model=font_model, verify=True)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    half1 = docs.filter("doc_id < 'doc-000008'")
+    half2 = docs.filter("doc_id >= 'doc-000008'")
+    docs_dir = str(tmp_path / "docs_stream")
+    os.makedirs(docs_dir, exist_ok=True)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "h1"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "h2"))
+    src1 = [f for f in os.listdir(str(tmp_path / "h1")) if f.endswith(".parquet")][0]
+    src2 = [f for f in os.listdir(str(tmp_path / "h2")) if f.endswith(".parquet")][0]
+    shutil.copy(str(tmp_path / "h1" / src1), f"{docs_dir}/part-0.parquet")
+    media = spark.read.parquet(f"{d}/media.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_extract(spark, docs_dir, media, font_model, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    shutil.copy(str(tmp_path / "h2" / src2), f"{docs_dir}/part-1.parquet")
+    q = stream_extract(spark, docs_dir, media, font_model, out, ckpt)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    golden = spark.read.parquet(f"{d}/golden_spans.parquet")
+    g1 = golden.filter("doc_id < 'doc-000008'").count()
+    g_all = golden.count()
+    assert n1 == g1
+    assert result.count() == g_all
+    # exactly-once: no doc duplicated across the two micro-batches
+    dup = result.groupBy("doc_id", "seq").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_stream_metrics_watermark_rollup(spark, tmp_path):
+    """Watermarked windowed rollup over an extraction-output stream: three
+    1-minute windows; append mode emits exactly the closed windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from newocr_spark.pipeline.streaming import stream_metrics
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for m, (docs, glyphs, errs) in enumerate([(3, 30, 0), (2, 20, 1), (4, 40, 0)]):
+        for i in range(docs):
+            rows.append(
+                (
+                    f"d-{m}-{i}", 0, "text", "x", None, glyphs // docs, 1, None,
+                    None if errs == 0 or i else "boom",
+                    base + dt.timedelta(minutes=m, seconds=10 + i),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, seq int, kind string, text string, media_ref string, "
+        "glyph_count long, line_count int, font_size_pt double, error string, "
+        "committed_at timestamp",
+    )
+    src = str(tmp_path / "extracted")
+    import os
+
+    os.makedirs(src)
+    # append mode only emits a window once the WATERMARK passes its end,
+    # and the watermark advances between micro-batches — so stage the data
+    # as two file drops + two availableNow runs (exactly the continuous-
+    # arrival shape the rollup serves in production)
+    df.filter("committed_at < timestamp'2026-01-01 12:02:00'").coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    df.filter("committed_at >= timestamp'2026-01-01 12:02:00'").coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    heartbeat = spark.createDataFrame(
+        [("hb", 0, "text", "x", None, 0, 0, None, None,
+          dt.datetime(2026, 1, 1, 12, 3, 10))],
+        df.schema,
+    )
+    heartbeat.coalesce(1).write.parquet(str(tmp_path / "b3"))
+    import shutil
+
+    def drop(batch_dir, name):
+        f = [x for x in os.listdir(batch_dir) if x.endswith(".parquet")][0]
+        shutil.copy(os.path.join(batch_dir, f), os.path.join(src, name))
+
+    # the watermark a batch evicts with comes from the PREVIOUS batch's max
+    # event time, so window k closes in the batch after the one carrying
+    # past-window-k data — three drops close windows 0 and 1
+    out, ckpt = str(tmp_path / "metrics"), str(tmp_path / "mckpt")
+    for i, b in enumerate(("b1", "b2", "b3")):
+        drop(str(tmp_path / b), f"part-{i}.parquet")
+        q = stream_metrics(spark, src, out, ckpt, watermark_delay="30 seconds",
+                           schema=df.schema)
+        q.awaitTermination(120)
+    got = {
+        r.window_start.minute: (r.docs, int(r.glyphs), int(r.errors))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[0] == (3, 30, 0)
+    assert got[1] == (2, 20, 1)
+    # window 2 awaits a future batch whose predecessor's watermark passes
+    # 12:03 — append-mode semantics, no premature emission
+    assert 2 not in got
