@@ -99,6 +99,7 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
             _force(QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()  # no orphaned caches bleeding across queries
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -107,7 +108,7 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 800) -> dict:
     except ValueError:
         pass
     result = {
-        "metric": "total bench wall time (OCR extraction + 21 analytic queries)",
+        "metric": f"total bench wall time (OCR extraction + {len(BENCH_QUERIES)} analytic queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,
