@@ -58,34 +58,35 @@ def _union_pairs(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     Runs within a row are sorted and disjoint, so for a run [sb, eb) in row
     r+1, the overlapping runs of row r form the contiguous index range
     [searchsorted(ends_r, sb), searchsorted(starts_r, eb, 'right')).
+    Per-row searches collapse into two GLOBAL searchsorted calls on
+    composite row-major keys (row*K + col, K > any col): every row's key
+    block is disjoint and internally sorted, so a probe keyed to row r-1
+    lands inside that row's segment automatically — no Python loop over
+    rows, no per-row slicing.
     """
-    row_break = np.searchsorted(rows, np.arange(height + 1))
-    pa: list[np.ndarray] = []
-    pb: list[np.ndarray] = []
-    for r in range(1, height):
-        a0, a1 = row_break[r - 1], row_break[r]
-        b0, b1 = row_break[r], row_break[r + 1]
-        if a0 == a1 or b0 == b1:
-            continue
-        sa, ea = starts[a0:a1], ends[a0:a1]
-        sb, eb = starts[b0:b1], ends[b0:b1]
-        lo = np.searchsorted(ea, sb, side="left")
-        hi = np.searchsorted(sa, eb, side="right")
-        counts = hi - lo
-        total = int(counts.sum())
-        if total == 0:
-            continue
-        # expand [lo_j, hi_j) ranges: a-index per pair, b-index repeated
-        b_idx = np.repeat(np.arange(b0, b1), counts)
-        csum = np.cumsum(counts) - counts
-        a_idx = (np.arange(total) - np.repeat(csum, counts)
-                 + np.repeat(lo, counts) + a0)
-        pa.append(a_idx)
-        pb.append(b_idx)
-    if not pa:
+    n = len(rows)
+    if n == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e
-    return np.concatenate(pa), np.concatenate(pb)
+    K = np.int64(int(ends.max()) + 2)
+    start_keys = rows.astype(np.int64) * K + starts
+    end_keys = rows.astype(np.int64) * K + ends
+    prev = (rows.astype(np.int64) - 1) * K
+    # overlap in row above: runs a with ea >= sb AND sa <= eb — half-open
+    # runs touching at a column (ea == sb / sa == eb) are diagonal
+    # neighbours, which 8-connectivity joins
+    lo = np.searchsorted(end_keys, prev + starts, side="left")
+    hi = np.searchsorted(start_keys, prev + ends, side="right")
+    # empty previous row → lo/hi land on the same segment boundary → 0
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    csum = np.cumsum(counts) - counts
+    a_idx = np.arange(total, dtype=np.int64) - np.repeat(csum, counts) + np.repeat(lo, counts)
+    return a_idx, b_idx
 
 
 def connected_components(grid: np.ndarray) -> list[Component]:
