@@ -65,6 +65,52 @@ def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ocr_extract_face(spark, sf_dir, "SparkGrid", OCR_MAX_DOCS)
 
 
+def _ocr_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 oracle-checked: per-doc span re-assembly in offset order.
+    sort_array(collect_list(struct(offset, repr))) orders by the first
+    struct field = offset (SURVEY §2f O5); the assembled doc is rendered
+    as one string so the DuckDB comparison is flat-typed."""
+    from pyspark.sql import functions as F
+
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+
+    model = get_model()
+    docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=OCR_MAX_DOCS)
+    extracted = extract_spans(spark, docs, media, model, ocr_partitions=16)
+    piece = F.concat_ws(
+        "|", "kind", F.coalesce("media_ref", F.lit("-")), F.coalesce("text", F.lit(""))
+    )
+    return extracted.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("offset"), piece.alias("p")))),
+                lambda s: s["p"],
+            ),
+            " || ",
+        ).alias("doc_repr"),
+        F.count("*").alias("n_spans"),
+    )
+
+
+OCR_ASSEMBLED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {OCR_MAX_DOCS}
+),
+spans AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, 0 AS off,
+         'text|-|' || text AS p FROM base
+  UNION ALL
+  SELECT printf('doc-%06d', doc_id) AS doc_id, 10 AS off,
+         'text|' || printf('m-%06d', doc_id) || '|' || text AS p FROM base
+)
+SELECT doc_id, string_agg(p, ' || ' ORDER BY off) AS doc_repr,
+       count(*) AS n_spans
+FROM spans GROUP BY doc_id
+"""
+
+
 def _ocr_extract_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same end-to-end extraction, second trained font (SparkGridWide) —
     recognition must still be exact, so the same SQL oracle shape applies."""
@@ -95,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["ocr_extract"] = _ocr_extract
     out["ocr_extract_wide"] = _ocr_extract_wide
+    out["ocr_assembled"] = _ocr_assembled
     return out
 
 
@@ -104,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["ocr_extract"] = OCR_EXTRACT_SQL
     out["ocr_extract_wide"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
+    out["ocr_assembled"] = OCR_ASSEMBLED_SQL
     return out
