@@ -367,6 +367,32 @@ def q_ann_ivf(spark, sf):  # Spark-only scale path (rows-only check)
     return S.ivf_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def _fixture_media(spark, sf, n=40):
+    from .artifacts import get_model
+    from .fixtures import corpus_fixture_tables
+
+    _docs, media = corpus_fixture_tables(spark, sf, get_model(), max_docs=n)
+    return media
+
+
+def q_media_metadata(spark, sf):  # multimodal: real PNG decode (rows-only)
+    from .analytics.multimodal import image_metadata
+
+    return image_metadata(_fixture_media(spark, sf))
+
+
+def q_media_resize(spark, sf):  # multimodal: thumbnail resize (rows-only)
+    from .analytics.multimodal import image_resize
+
+    return image_resize(_fixture_media(spark, sf), out_w=16, out_h=16)
+
+
+def q_media_frame_sample(spark, sf):  # multimodal: frame sampling (rows-only)
+    from .analytics.multimodal import video_frame_sample
+
+    return video_frame_sample(_fixture_media(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -396,6 +422,9 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "media_metadata": q_media_metadata,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES = {
