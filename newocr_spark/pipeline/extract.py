@@ -49,7 +49,7 @@ def make_ocr_udf(broadcast_model):
     DataFrame level — the per-image loop is the reference's own granularity)."""
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..codecs.png import decode_png
+        from ..codecs.bmp import decode_image
         from ..kernel.grid import binarize
         from ..kernel.metrics import font_size_of
         from ..kernel.scan import render_text, scan_grid
@@ -66,7 +66,7 @@ def make_ocr_udf(broadcast_model):
                 try:
                     if png is None:
                         raise ValueError("missing media bytes")
-                    lines = scan_grid(binarize(decode_png(png)), model)
+                    lines = scan_grid(binarize(decode_image(png)), model)
                     texts[i] = render_text(lines)
                     glyphs[i] = int(sum(len(l) for _y, l in lines))
                     line_counts[i] = len(lines)

@@ -137,3 +137,23 @@ def test_join_strategies_agree(spark, font_model, fixture_dir):
     b = extract_spans(spark, docs, media, font_model, ocr_partitions=8,
                       media_join="shuffle")
     assert _spans_by_doc(a) == _spans_by_doc(b)
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_document_sources_roundtrip(spark, font_model, fixture_dir, tmp_path, fmt):
+    """JSON / CSV document sources normalize to the canonical shape and
+    extract identically to the parquet path."""
+    from newocr_spark.pipeline.extract import extract_spans
+    from newocr_spark.sources import read_documents, write_documents
+
+    docs_pq = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    subset = docs_pq.filter("doc_id < 'doc-000020'")
+    path = str(tmp_path / f"docs_{fmt}")
+    write_documents(subset, path, fmt)
+    docs_rt = read_documents(spark, path, fmt)
+    assert [f.name for f in docs_rt.schema.fields] == ["doc_id", "spans"]
+
+    base = extract_spans(spark, subset, media, font_model)
+    via = extract_spans(spark, docs_rt, media, font_model)
+    assert _spans_by_doc(via) == _spans_by_doc(base)
