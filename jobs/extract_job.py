@@ -32,9 +32,11 @@ def main() -> None:
     p.add_argument("--model-dir", default=None)
     p.add_argument("--ocr-partitions", type=int, default=None)
     p.add_argument(
-        "--media-join", choices=("shuffle", "broadcast_meta"), default="shuffle",
-        help="broadcast_meta avoids shuffling image bytes; requires each "
-        "bucket group's media-span metadata to fit the broadcast budget",
+        "--media-join", choices=("shuffle", "broadcast_meta"),
+        default="broadcast_meta",
+        help="broadcast_meta (default): span metadata broadcasts onto each "
+        "bucket's media slice, image bytes never shuffle; shuffle adds a "
+        "salted repartition before OCR for size-skewed bucket splits",
     )
     args = p.parse_args()
 

