@@ -130,8 +130,11 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             t0 = time.time()
             _force(QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
+            # clear BETWEEN passes too: self-caching queries (e.g. the
+            # shingle cache in ngram_jaccard) must pay their plan's cost on
+            # every timed pass, not reuse pass 1's cache
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        spark.catalog.clearCache()  # no orphaned caches bleeding across queries
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -156,7 +159,40 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
         },
     }
     spark.stop()
+    result["vs_prev"] = _vs_prev(timings)
     return result
+
+
+def _vs_prev(timings: dict[str, float]) -> dict:
+    """Per-query ratio vs the latest recorded BENCH_r{N}.json (cur/prev;
+    >1 slower, <1 faster) so round N+1's judge sees regressions at a
+    glance. Empty when no prior round file exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        # the driver wraps the bench line under "parsed"
+        inner = data.get("parsed") or data
+        prev = inner.get("queries", {})
+    except Exception:
+        return {}
+    out = {"prev_round": n, "prev_sf": inner.get("sf"), "ratios": {}}
+    for name, cur in timings.items():
+        p = prev.get(name)
+        if p:
+            out["ratios"][name] = round(cur / p, 3)
+    return out
 
 
 def main() -> None:

@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 
+# Quadratic-baseline guard: the exact all-pairs operators exist to verify
+# the LSH paths and for small corpora; beyond this many input rows they
+# refuse to run rather than silently become the production path at scale.
+QUADRATIC_MAX_ROWS = 50_000
+
+
+class QuadraticScaleError(RuntimeError):
+    """Raised when an exact all-pairs operator is pointed at a corpus too
+    large for its O(n^2) plan; use the LSH/banded scale path instead."""
+
+
+def guard_quadratic(df: DataFrame, max_rows: int | None, op: str, scale_path: str) -> None:
+    """Bounded probe (limit(max+1).count(), never a full count) that raises
+    QuadraticScaleError when df exceeds max_rows. max_rows=None disables."""
+    if max_rows is None:
+        return
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise QuadraticScaleError(
+            f"{op}: input exceeds {max_rows} rows; this exact all-pairs "
+            f"operator is a verification baseline — use {scale_path} at "
+            f"scale, or pass max_rows=None to override deliberately."
+        )
+
 
 def _h60(col):
     """60-bit deterministic hash of a string column (same value in DuckDB:
@@ -36,20 +59,26 @@ def _tokens(col):
 
 
 def _shingles(df: DataFrame, n: int = 2) -> DataFrame:
-    """doc_id → distinct n-gram token shingles."""
-    toks = df.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
-    out = toks
-    joined = F.col("tok")
-    for i in range(1, n):
-        nxt = toks.select(
-            F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2"),
-            F.col("tok").alias(f"tok{i}"),
-        )
-        out = out.join(
-            nxt, (out.doc_id == nxt.d2) & (out.pos == nxt.p2), "inner"
-        ).drop("d2", "p2")
-        joined = F.concat_ws(" ", joined, F.col(f"tok{i}"))
-    return out.select("doc_id", joined.alias("shingle")).distinct()
+    """doc_id → distinct n-gram token shingles.
+
+    Narrow JVM sliding window over the token array — no shuffle, no
+    self-join: `transform(sequence(0, size-n), i -> slice(toks, i+1, n))`
+    evaluates inside whole-stage codegen. (The previous posexplode +
+    (doc_id, pos) self-join cost one exchange per n; at crawl scale the
+    token-position shuffle dominated ngram_jaccard/minhash/fingerprints.)
+    Docs with fewer than n tokens yield zero shingles, matching the
+    join-based semantics."""
+    toks = _tokens(F.col("text"))
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(windows).alias("shingle")).distinct()
+    )
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -96,7 +125,12 @@ def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_rows: int | None = QUADRATIC_MAX_ROWS,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold).
 
     This is the exact baseline: one shingle equi-join whose fanout is
@@ -106,6 +140,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> 
     (A PPJoin prefix-filter variant was measured and discarded: with a
     small-vocabulary corpus every shingle is frequent, so the filter prunes
     nothing and its extra shuffles cost 5x.)"""
+    guard_quadratic(docs, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     sh = _hashed(_shingles(docs, n)).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh64")
@@ -199,15 +234,13 @@ TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
 def shingles_sql(n: int = 2) -> str:
+    # mirrors the Spark sliding window: slice the token list per position
     return f"""
-    WITH toks AS (
-      SELECT doc_id, t.tok, t.pos
-      FROM documents,
-           LATERAL (SELECT UNNEST({TOKENS_SQL}) AS tok,
-                           generate_subscripts({TOKENS_SQL}, 1) AS pos) t
-    )
-    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS shingle
-    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i.i : i.i + {n - 1}], ' ') AS shingle
+    FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - {n - 1}))
+                     AS i) i
     """
 
 

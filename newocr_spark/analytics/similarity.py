@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .dedup import QUADRATIC_MAX_ROWS, guard_quadratic
+
 
 def _norm_expr(a: str):
     return F.sqrt(
@@ -102,7 +104,11 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
     """
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    max_rows: int | None = QUADRATIC_MAX_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
 
     Exact baseline: symmetric self-crossJoin with the dot product in JVM
@@ -116,6 +122,10 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> Da
     The per-vector norm is computed ONCE per side before the crossJoin
     (identical float-op order to the inline formula, so still bit-equal to
     the oracle) — the O(n^2) pair loop then only evaluates the dot."""
+    guard_quadratic(
+        embeddings, max_rows,
+        "embedding_neardup_pairs", "lsh_ann_topk / ivf_ann_topk",
+    )
     withn = embeddings.select(
         "vec_id", "embedding", _norm_expr("embedding").alias("nrm")
     )
@@ -197,24 +207,35 @@ def lsh_ann_topk(
         return pd.Series(list((signs @ powers).astype(np.int64)))  # (batch, tables)
 
     bucketed = embeddings.select(
-        "vec_id", "embedding",
+        "vec_id",
         F.posexplode(buckets_of("embedding")).alias("table", "bucket"),
     )
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        "table", "bucket",
+        F.col("vec_id").alias("query_id"), "table", "bucket",
     )
     c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
-        "table", "bucket",
+        F.col("vec_id").alias("neighbor_id"), "table", "bucket",
     )
+    # candidate generation and dedup shuffle ONLY (query_id, neighbor_id)
+    # pairs — embeddings rejoin after the distinct, so full vectors never
+    # ride through the bucket join or the dedup exchange
     cands = (
         q.join(c, ["table", "bucket"])  # equi-join replaces the crossJoin
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")  # union of tables, score once
-        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # union of tables, score once
     )
-    scored = cands.withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
+    q_emb = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c_emb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cands.join(F.broadcast(q_emb), "query_id")  # tiny query set
+        .join(c_emb, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -230,7 +251,8 @@ def _kmeans_centroids(
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on an L2-normalized sample (numpy)."""
     rng = np.random.RandomState(seed)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)  # zero vectors stay zero
     cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
         assign = (sample @ cent.T).argmax(axis=1)  # cosine == dot, normalized
@@ -263,9 +285,12 @@ def ivf_ann_topk(
 
     spark = embeddings.sparkSession
     sample_rows = (
-        embeddings.select("embedding").limit(sample_size).collect()
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic regardless of partitioning
+        .limit(sample_size)
+        .collect()
     )  # bounded driver pull: the k-means SAMPLE, never the corpus
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     cent_b = spark.sparkContext.broadcast(
         _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
     )
@@ -274,14 +299,14 @@ def ivf_ann_topk(
     def cell_of(emb: pd.Series) -> pd.Series:
         cent = cent_b.value
         mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
 
     @F.pandas_udf("array<long>")
     def probe_cells(emb: pd.Series) -> pd.Series:
         cent = cent_b.value
         mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
         return pd.Series(list(order.astype(np.int64)))
 

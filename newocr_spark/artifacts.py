@@ -27,7 +27,13 @@ def get_model(name: str = "SparkGrid") -> FontModel:
     if name not in _MODELS:
         data_dir = _DIRS[name]
         if os.path.exists(os.path.join(data_dir, "font_model.parquet")):
-            _MODELS[name] = FontModel.load(data_dir, config=FontConfig(name=name))
+            # config comes from the font_config.json shipped next to the
+            # trained tables (FontModel.load auto-reads it); fall back to
+            # defaults only when the file is absent
+            cfg = None
+            if not os.path.exists(os.path.join(data_dir, "font_config.json")):
+                cfg = FontConfig(name=name)
+            _MODELS[name] = FontModel.load(data_dir, config=cfg)
         else:
             from .font.glyphs import FACES
             from .font.train import train_font

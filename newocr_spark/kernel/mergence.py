@@ -238,17 +238,19 @@ def _percent(ctx: _Ctx, target, data, pos):  # M4 — rules/PercentMergeRule.jav
     return [dot1, dot2]
 
 
-# (rule_fn, is_horizontal) in the computed execution order (see module docstring)
-_RULES = (
-    (_under_dot, False),
-    (_equal_vertical, False),
-    (_over_dot, False),
-    (_apostrophe, True),
-    (_percent, True),
-)
-# registration order sorted ascending by priority index, stable:
-#   UnderDot(-1), EqualVertical(-1), OverDot(1), Apostrophe(1), Percent(1)
-_RULE_ORDER = (0, 1, 2, 3, 4)
+# name → (rule_fn, is_horizontal); names mirror the reference's rule
+# classes, registered reflectively from config
+# (HOCONFontConfiguration.java:156-170). The execution order comes from
+# FontConfig.merge_rules — its default is the computed priority order
+# UnderDot(-1), EqualVertical(-1), OverDot(1), Apostrophe(1), Percent(1)
+# (see module docstring).
+RULE_REGISTRY = {
+    "UnderDotMergeRule": (_under_dot, False),
+    "EqualVerticalMergeRule": (_equal_vertical, False),
+    "OverDotMergeRule": (_over_dot, False),
+    "ApostropheMergeRule": (_apostrophe, True),
+    "PercentMergeRule": (_percent, True),
+}
 
 
 def run_mergence(sorted_lines, model):
@@ -282,8 +284,8 @@ def run_mergence(sorted_lines, model):
     def positions_of(lst):
         return {id(x): i for i, x in enumerate(lst)}
 
-    for rule_idx in _RULE_ORDER:
-        rule_fn, horizontal = _RULES[rule_idx]
+    for rule_name in model.config.merge_rules:
+        rule_fn, horizontal = RULE_REGISTRY[rule_name]
         removing: list = []
         removing_ids: set[int] = set()
         if horizontal:

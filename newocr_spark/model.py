@@ -28,10 +28,23 @@ META_NAMES = (
 )
 
 
+# the default merge-rule execution order (registration order sorted stably
+# by priority — see kernel/mergence.py module docstring); names mirror the
+# reference's reflectively-registered rule classes
+# (HOCONFontConfiguration.java:156-170, fonts/Default.conf mergence.rules)
+DEFAULT_MERGE_RULES = (
+    "UnderDotMergeRule", "EqualVerticalMergeRule", "OverDotMergeRule",
+    "ApostropheMergeRule", "PercentMergeRule",
+)
+
+
 @dataclass
 class FontConfig:
     """Per-font options (configuration/HOCONFontConfiguration.java:95-170,
-    resources/fonts/Default.conf)."""
+    resources/fonts/Default.conf). Loadable from a per-font JSON file
+    shipped next to the trained tables — the engine's analogue of the
+    reference's per-font HOCON configs (similarity sets, merge-rule list,
+    ratio weights, special spaces all file-driven, no code edits)."""
 
     name: str = "SparkGrid"
     special_spaces: frozenset[str] = frozenset({"`"})
@@ -42,6 +55,67 @@ class FontConfig:
     similarities: dict[str, frozenset[tuple[str, int]]] = field(
         default_factory=lambda: dict(DEFAULT_SIMILARITIES)
     )
+    # execution order of the mergence rules (kernel/mergence.RULE_REGISTRY
+    # names); dropping or reordering entries changes merge behavior, as the
+    # reference's config-driven rule registration does
+    merge_rules: tuple[str, ...] = DEFAULT_MERGE_RULES
+
+    # ---------------- config-file surface ----------------
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "special_spaces": sorted(self.special_spaces),
+            "max_percent_diff_to_merge": self.max_percent_diff_to_merge,
+            "size_ratio_weight": self.size_ratio_weight,
+            "specific_ratio_weights": [
+                [l, m, w] for (l, m), w in sorted(self.specific_ratio_weights.items())
+            ],
+            "similarities": {
+                k: sorted([l, m] for (l, m) in v)
+                for k, v in sorted(self.similarities.items())
+            },
+            "merge_rules": list(self.merge_rules),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FontConfig":
+        base = cls()
+        return cls(
+            name=d.get("name", base.name),
+            special_spaces=frozenset(d.get("special_spaces", base.special_spaces)),
+            max_percent_diff_to_merge=d.get(
+                "max_percent_diff_to_merge", base.max_percent_diff_to_merge
+            ),
+            size_ratio_weight=d.get("size_ratio_weight", base.size_ratio_weight),
+            specific_ratio_weights={
+                (l, int(m)): float(w)
+                for l, m, w in d.get("specific_ratio_weights", [])
+            },
+            similarities=(
+                {
+                    k: frozenset((l, int(m)) for l, m in v)
+                    for k, v in d["similarities"].items()
+                }
+                if "similarities" in d
+                else dict(DEFAULT_SIMILARITIES)
+            ),
+            merge_rules=tuple(d.get("merge_rules", DEFAULT_MERGE_RULES)),
+        )
+
+    def to_file(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+            f.write("\n")
+
+    @classmethod
+    def from_file(cls, path: str) -> "FontConfig":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
 
 
 @dataclass
@@ -141,9 +215,18 @@ class FontModel:
         os.makedirs(directory, exist_ok=True)
         for name, table in self.to_tables().items():
             pq.write_table(table, f"{directory}/{name}.parquet")
+        # per-font config ships NEXT TO the trained tables (the reference's
+        # per-font .conf + per-font DB pairing)
+        self.config.to_file(f"{directory}/font_config.json")
 
     @classmethod
     def load(cls, directory: str, config: FontConfig | None = None) -> "FontModel":
+        import os
+
+        if config is None:
+            cfg_path = f"{directory}/font_config.json"
+            if os.path.exists(cfg_path):
+                config = FontConfig.from_file(cfg_path)
         model = pq.read_table(f"{directory}/font_model.parquet").to_pydict()
         meta = pq.read_table(f"{directory}/font_meta.parquet").to_pydict()
         spaces = pq.read_table(f"{directory}/font_custom_spaces.parquet").to_pydict()
@@ -163,5 +246,5 @@ class FontModel:
                 (l, m): r
                 for l, m, r in zip(sizes["letter"], sizes["modifier"], sizes["ratio"])
             },
-            config=config or FontConfig(),
+            config=config if config is not None else FontConfig(),
         )

@@ -106,6 +106,23 @@ class ExtractRunner:
     def _bucket_of(self, col: str):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
+    def snapshot_key(self, input_snapshot: str) -> str:
+        """Effective checkpoint key: folds n_buckets into the snapshot id.
+        Dynamic partition overwrite only replaces bucket partitions PRESENT
+        in the current run's output, so a rerun against a changed input (or
+        different bucketing) could otherwise leave stale rows from a prior
+        snapshot in untouched partitions. Every intermediate row is tagged
+        with this key and both the metrics read and the assembly filter on
+        it — stale rows can never leak into the output."""
+        return f"{input_snapshot}#b{self.n_buckets}"
+
+    def _read_intermediate(self) -> DataFrame:
+        from .extract import OCR_OUTPUT_SCHEMA
+
+        return self.spark.read.schema(
+            OCR_OUTPUT_SCHEMA + ", snapshot string, bucket int"
+        ).parquet(self._ocr_dir)
+
     def run(self, documents: DataFrame, media: DataFrame, input_snapshot: str, run_id: str) -> dict:
         from pyspark.sql import Window
 
@@ -114,8 +131,18 @@ class ExtractRunner:
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-        done = self.state.completed_buckets(input_snapshot)
-        attempt = self.state.attempts(input_snapshot) + 1
+        if self.ocr_partitions and self.media_join != "shuffle":
+            import warnings
+
+            warnings.warn(
+                "ocr_partitions only applies with media_join='shuffle'; the "
+                "default broadcast_meta path runs OCR on the media table's "
+                "natural parquet splits",
+                stacklevel=2,
+            )
+        snap = self.snapshot_key(input_snapshot)
+        done = self.state.completed_buckets(snap)
+        attempt = self.state.attempts(snap) + 1
         todo = [b for b in range(self.n_buckets) if b not in done]
         groups = [
             todo[i : i + self.group_size]
@@ -147,16 +174,20 @@ class ExtractRunner:
                 with_png = with_png.repartition(
                     self.ocr_partitions, F.xxhash64("media_ref")
                 )
-            ocr = with_png.mapInPandas(
-                make_ocr_udf(bmodel), OCR_OUTPUT_SCHEMA
-            ).withColumn("bucket", self._bucket_of("media_ref"))
+            ocr = (
+                with_png.mapInPandas(make_ocr_udf(bmodel), OCR_OUTPUT_SCHEMA)
+                .withColumn("bucket", self._bucket_of("media_ref"))
+                .withColumn("snapshot", F.lit(snap))
+            )
             # idempotent per-bucket intermediate: dynamic partition overwrite
             ocr.write.mode("overwrite").partitionBy("bucket").parquet(self._ocr_dir)
             wall_ms = int((time.time() - t0) * 1000)
-            # metrics from the WRITTEN rows — never re-execute the OCR plan
+            # metrics from the WRITTEN rows — never re-execute the OCR plan;
+            # explicit schema so an all-empty group (no data files yet)
+            # reads as an empty frame instead of a schema-inference error
             metrics = (
-                spark.read.parquet(self._ocr_dir)
-                .filter(F.col("bucket").isin(group))
+                self._read_intermediate()
+                .filter((F.col("snapshot") == snap) & F.col("bucket").isin(group))
                 .groupBy("bucket")
                 .agg(
                     F.countDistinct("doc_id").alias("docs_done"),
@@ -180,7 +211,7 @@ class ExtractRunner:
                         "partition_id": int(b),
                         "doc_id_min": by_bucket[b].doc_id_min if b in by_bucket else None,
                         "doc_id_max": by_bucket[b].doc_id_max if b in by_bucket else None,
-                        "input_snapshot": input_snapshot,
+                        "input_snapshot": snap,
                         "docs_done": int(by_bucket[b].docs_done) if b in by_bucket else 0,
                         "glyph_count": int(by_bucket[b].glyph_count) if b in by_bucket else 0,
                         "error_count": int(by_bucket[b].error_count) if b in by_bucket else 0,
@@ -214,7 +245,11 @@ class ExtractRunner:
                     F.lit(None).cast("string").alias("error"),
                 )
             )
-            ocr_all = spark.read.parquet(self._ocr_dir).drop("bucket")
+            ocr_all = (
+                self._read_intermediate()
+                .filter(F.col("snapshot") == snap)  # never prior-snapshot rows
+                .drop("bucket", "snapshot")
+            )
             missing = (
                 meta.join(media.select("media_ref"), "media_ref", "left_anti")
                 .select(
@@ -231,9 +266,13 @@ class ExtractRunner:
             final = result.withColumn(
                 "seq", (F.row_number().over(seq) - 1).cast("int")
             ).withColumn("bucket", self._bucket_of("doc_id"))
-            final.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.output_path
-            )
+            # FULL overwrite (static): the assembly is the one stage allowed
+            # to rewrite everything — under the session's dynamic mode a
+            # shrunken snapshot would leave prior-run output partitions in
+            # buckets this run doesn't touch
+            final.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("bucket").parquet(self.output_path)
         return stats
 
     def read_output(self) -> DataFrame:

@@ -193,7 +193,7 @@ WITH d AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_gaps,
-       sum(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS big_gaps,
+       CAST(sum(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS BIGINT) AS big_gaps,
        round(avg(delta), 6) AS avg_delta
 FROM d WHERE delta IS NOT NULL GROUP BY user_id
 """
@@ -399,22 +399,41 @@ def _fixture_media(spark, sf, n=40):
     return media
 
 
-def q_media_metadata(spark, sf):  # multimodal: real PNG decode (rows-only)
+def q_media_metadata(spark, sf):  # multimodal: real PNG decode, oracle-checked
+    # The fixture render is a pure function of (text, doc_id % 2), so the
+    # decoded geometry/luminance is SQL-expressible from documents.text and
+    # the font's per-glyph width/black-count table (fixtures.media_metadata_sql)
     from .analytics.multimodal import image_metadata
 
     return image_metadata(_fixture_media(spark, sf))
 
 
-def q_media_resize(spark, sf):  # multimodal: thumbnail resize (rows-only)
-    from .analytics.multimodal import image_resize
+def q_media_resize(spark, sf):  # multimodal: resize roundtrip, dims oracle-checked
+    # decode -> nearest-neighbour resize -> re-encode -> re-decode; the
+    # reported thumbnail dims must equal the requested output shape
+    from .analytics.multimodal import image_metadata, image_resize
 
-    return image_resize(_fixture_media(spark, sf), out_w=16, out_h=16)
+    thumbs = image_resize(_fixture_media(spark, sf), out_w=16, out_h=16)
+    return image_metadata(
+        thumbs.select("media_ref", F.col("thumb_png").alias("png"))
+    ).select("media_ref", "width", "height", "channels")
 
 
 def q_media_frame_sample(spark, sf):  # multimodal: frame sampling (rows-only)
     from .analytics.multimodal import video_frame_sample
 
     return video_frame_sample(_fixture_media(spark, sf))
+
+
+def q_audio_metadata(spark, sf):  # multimodal: REAL WAV decode roundtrip
+    # synth (mapInPandas) -> encode_wav -> decode_wav; the decoded container
+    # properties are a pure function of the ref's md5 → SQL-expressible
+    from .analytics.multimodal import audio_features, synth_audio_table
+
+    wavs = synth_audio_table(_fixture_media(spark, sf))
+    return audio_features(wavs).select(
+        "media_ref", "sample_rate", "n_samples", "channels"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -450,6 +469,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "audio_metadata": q_audio_metadata,
 }
 
 ORACLES = {
@@ -476,5 +496,19 @@ ORACLES = {
     "token_counts": T.token_counts_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
-    # "ann_lsh": Spark-only (seeded-hyperplane buckets) → rows-only check
+    # "ann_lsh"/"ann_ivf": Spark-only (seeded hyperplanes / k-means cells)
+    # → rows-only check here; recall-vs-exact floors are asserted in
+    # tests/test_ann_recall.py
 }
+
+
+def _register_media_oracles() -> None:
+    from .analytics.multimodal import audio_metadata_sql
+    from .fixtures import media_metadata_sql, media_resize_dims_sql
+
+    ORACLES["media_metadata"] = media_metadata_sql(40)
+    ORACLES["media_resize"] = media_resize_dims_sql(40, 16, 16)
+    ORACLES["audio_metadata"] = audio_metadata_sql(40)
+
+
+_register_media_oracles()

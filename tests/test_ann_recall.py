@@ -1,0 +1,105 @@
+"""ANN quality harness: the approximate paths (hyperplane LSH, IVF) must
+hit a recall floor against the exact cosine_topk ground truth — "25 rows"
+alone proves plumbing, not quality. Floors are set from a parameter sweep
+at the default settings (see test docstrings); raising n_tables/nprobe
+raises recall monotonically without changing the join shape.
+
+Also pins the quadratic-baseline scale guards: the exact all-pairs
+operators refuse oversized inputs instead of silently becoming the
+production path at scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+N_QUERIES = 8
+K = 5
+
+
+def _recall(approx_df, exact_df) -> float:
+    """Mean fraction of exact top-k neighbor ids the approximate path
+    recovered, per query."""
+    exact = {}
+    for r in exact_df.collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in approx_df.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    scores = [
+        len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ]
+    assert scores, "ground truth produced no queries"
+    return sum(scores) / len(scores)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, embeddings):
+    from newocr_spark.analytics.similarity import cosine_topk
+
+    return cosine_topk(embeddings, n_queries=N_QUERIES, k=K).cache()
+
+
+def test_lsh_recall_floor(spark, embeddings, exact_topk):
+    """Multi-table hyperplane LSH at defaults (4 planes x 8 tables).
+    Measured sweep on this corpus (seed 42): 4 tables 0.375, 8 tables
+    0.70, 16 tables 0.975 — recall 1-(1-p^planes)^tables compounds with
+    tables as designed. Floor 0.6 leaves margin under the seeded draw."""
+    from newocr_spark.analytics.similarity import lsh_ann_topk
+
+    approx = lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K)
+    assert _recall(approx, exact_topk) >= 0.6
+
+
+def test_ivf_recall_floor(spark, embeddings, exact_topk):
+    """IVF on this SYNTHETIC corpus: the embeddings are near-uniform random
+    vectors with weak cluster structure, so recall tracks the fraction of
+    cells probed (measured: nprobe 1/2/3/4 → 0.375/0.525/0.675/0.775 of
+    exact top-5) rather than the much steeper curve real clustered data
+    gives. Floors pin that measured behavior: defaults (nprobe=2) ≥ 0.45,
+    nprobe=4 (half the cells) ≥ 0.7."""
+    from newocr_spark.analytics.similarity import ivf_ann_topk
+
+    approx = ivf_ann_topk(embeddings, n_queries=N_QUERIES, k=K)
+    assert _recall(approx, exact_topk) >= 0.45
+    wider = ivf_ann_topk(embeddings, n_queries=N_QUERIES, k=K, nprobe=4)
+    assert _recall(wider, exact_topk) >= 0.7
+
+
+def test_ivf_nprobe_monotone(spark, embeddings, exact_topk):
+    """More probes can only widen the candidate set → recall must not drop."""
+    from newocr_spark.analytics.similarity import ivf_ann_topk
+
+    r2 = _recall(
+        ivf_ann_topk(embeddings, n_queries=N_QUERIES, k=K, nprobe=2), exact_topk
+    )
+    r8 = _recall(
+        ivf_ann_topk(embeddings, n_queries=N_QUERIES, k=K, nprobe=8), exact_topk
+    )
+    assert r8 >= r2
+    assert r8 >= 0.99  # nprobe == n_cells probes everything → exact
+
+
+def test_quadratic_guard_ngram(spark):
+    from newocr_spark.analytics.dedup import QuadraticScaleError, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(10)], "doc_id long, text string"
+    )
+    with pytest.raises(QuadraticScaleError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, max_rows=5).count()
+    # explicit opt-out still works
+    assert ngram_jaccard_pairs(docs, max_rows=None).count() >= 0
+
+
+def test_quadratic_guard_embeddings(spark, embeddings):
+    from newocr_spark.analytics.dedup import QuadraticScaleError
+    from newocr_spark.analytics.similarity import embedding_neardup_pairs
+
+    with pytest.raises(QuadraticScaleError, match="lsh_ann_topk"):
+        embedding_neardup_pairs(embeddings, max_rows=10).count()

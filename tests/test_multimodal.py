@@ -36,14 +36,61 @@ def test_image_resize(spark, media_df):
     assert img.shape == (16, 16)
 
 
-def test_audio_features_stub(spark, media_df):
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from newocr_spark.codecs.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    mono = (rng.rand(1000) * 1.8 - 0.9).astype(np.float64)
+    got, sr = decode_wav(encode_wav(mono, 16000))
+    assert sr == 16000 and got.shape == (1000, 1)
+    # exact quantization contract: round(x*32767) stored, /32768 decoded
+    expected = np.round(mono * 32767.0) / 32768.0
+    assert np.abs(got[:, 0] - expected.astype(np.float32)).max() < 1e-7
+    stereo = np.stack([mono, -mono], axis=1)
+    got2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert got2.shape == (1000, 2)
+
+
+def test_audio_features_real_decode(spark, media_df):
+    """audio_features exercises REAL WAV bytes end-to-end: synth →
+    encode_wav → Spark binary column → decode_wav → features, and the
+    distributed result matches a direct numpy computation of the same
+    waveform."""
+    import numpy as np
+
+    from newocr_spark.analytics.multimodal import (
+        audio_features, synth_audio_table, synth_wav_bytes,
+    )
+    from newocr_spark.codecs.wav import decode_wav
+
+    wavs = synth_audio_table(media_df)
+    feats = audio_features(wavs).collect()
+    assert feats and all(r.error is None for r in feats)
+    assert all(r.sample_rate == 8000 and r.channels == 1 for r in feats)
+    assert all(r.rms > 0 and 0 <= r.zcr <= 1 for r in feats)
+    # dominant partials live well below Nyquist → centroid in (0, 4000)
+    assert all(0 < r.spectral_centroid_hz < 4000 for r in feats)
+
+    # cross-check one row against a direct (non-Spark) computation
+    r0 = feats[0]
+    samples, sr = decode_wav(synth_wav_bytes(r0.media_ref))
+    w = samples.mean(axis=1)
+    assert r0.n_samples == len(w)
+    assert abs(r0.rms - float(np.sqrt((w ** 2).mean()))) < 1e-5
+
+
+def test_audio_features_fault_isolation(spark):
     from newocr_spark.analytics.multimodal import audio_features
 
-    feats = audio_features(media_df).collect()
-    assert all(r.rms > 0 and 0 <= r.zcr <= 1 for r in feats)
-    # deterministic: rerun gives identical values
-    again = {r.media_ref: r.rms for r in audio_features(media_df).collect()}
-    assert all(again[r.media_ref] == r.rms for r in feats)
+    bad = spark.createDataFrame(
+        [("m-ok", None), ("m-garbage", bytearray(b"not a wav"))],
+        "media_ref string, wav binary",
+    )
+    rows = {r.media_ref: r for r in audio_features(bad).collect()}
+    assert rows["m-ok"].error is not None
+    assert rows["m-garbage"].error is not None
 
 
 def test_video_frame_sample_stub(spark, media_df):

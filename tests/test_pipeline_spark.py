@@ -66,7 +66,7 @@ def test_resume_no_dup_no_loss(spark, font_model, fixture_dir, tmp_path):
     )
     with pytest.raises(RuntimeError, match="injected failure"):
         runner.run(docs, media, input_snapshot="snap-1", run_id="run-a")
-    done_after_crash = state.completed_buckets("snap-1")
+    done_after_crash = state.completed_buckets(runner.snapshot_key("snap-1"))
     assert 0 < len(done_after_crash) < 8
 
     # resume: only the remaining buckets run
@@ -100,6 +100,58 @@ def test_idempotent_rerun(spark, font_model, fixture_dir, tmp_path):
     stats = runner.run(docs, media, input_snapshot="s", run_id="r2")
     assert stats["groups_run"] == 0
     assert runner.read_output().count() == n1
+
+
+def test_no_stale_rows_across_snapshots(spark, font_model, fixture_dir, tmp_path):
+    """Re-running the same output path against a SMALLER input snapshot must
+    not leak prior-snapshot rows: buckets with zero media in the new run
+    keep their old partition directories (dynamic overwrite never touches
+    them), so the assembly's snapshot filter is what protects the output."""
+    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
+
+    out = str(tmp_path / "out")
+    state = StateTable(spark, str(tmp_path / "state"))
+    runner = ExtractRunner(spark, font_model, out, state, n_buckets=8, group_size=4)
+    runner.run(docs, media, input_snapshot="snap-A", run_id="rA")
+    assert runner.read_output().count() == golden.count()
+
+    cutoff = "doc-000020"
+    docs2 = docs.filter(F.col("doc_id") < cutoff)
+    refs2 = docs2.select(
+        F.explode("spans").alias("s")
+    ).select(F.col("s.media_ref").alias("media_ref")).dropna().distinct()
+    media2 = media.join(refs2, "media_ref")
+    runner.run(docs2, media2, input_snapshot="snap-B", run_id="rB")
+
+    result = runner.read_output()
+    stale = result.filter(F.col("doc_id") >= cutoff).count()
+    assert stale == 0  # nothing from snap-A's larger corpus leaks through
+    exp = _spans_by_doc(golden.filter(F.col("doc_id") < cutoff))
+    assert _spans_by_doc(result) == exp
+
+
+def test_bucket_count_change_is_isolated(spark, font_model, fixture_dir, tmp_path):
+    """Changing n_buckets over the same output path re-keys the checkpoint
+    (snapshot_key folds it in), so old-bucketing intermediates are ignored
+    rather than mixed in."""
+    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
+
+    out = str(tmp_path / "out")
+    state = StateTable(spark, str(tmp_path / "state"))
+    r8 = ExtractRunner(spark, font_model, out, state, n_buckets=8, group_size=8)
+    r8.run(docs, media, input_snapshot="s", run_id="r1")
+    r4 = ExtractRunner(spark, font_model, out, state, n_buckets=4, group_size=4)
+    stats = r4.run(docs, media, input_snapshot="s", run_id="r2")
+    assert stats["groups_run"] == 1  # distinct key → recomputed, not skipped
+    assert _spans_by_doc(r4.read_output()) == _spans_by_doc(golden)
 
 
 @pytest.mark.parametrize("strategy", ["broadcast_meta", "shuffle"])

@@ -161,6 +161,21 @@ _texts = (
     # gap this renderer does not emit — a real space after '`' divides to
     # ~0.53 usedWidths and floors away; faithful to the trained tables
     .filter(lambda t: "` " not in t)
+    # 'o' is a percent-dot (fonts/Default.conf puts lowercase o in the
+    # percent-dot set) and PercentMergeRule matches on LINE-LIST adjacency
+    # with no X-distance gate (PercentMergeRule.java:46-62): an 'o'
+    # immediately left of '%' (even across a space — mergence runs before
+    # space insertion) or an o/o sandwich gets consumed into a percent —
+    # faithful behavior, pinned in test_percent_dot_hijack_reference_quirk
+    .filter(lambda t: "o%" not in t.replace(" ", "") and "o/o" not in t.replace(" ", ""))
+    # adjacent short vertical-line pieces merge pairwise in x-order into '"'
+    # (ApostropheMergeRule pairs a piece with its NEXT list neighbor; an
+    # apostrophe next to a quote steals the quote's left piece, two
+    # apostrophes fuse) — faithful, pinned in
+    # test_apostrophe_adjacency_reference_quirk
+    .filter(lambda t: not any(
+        p in t.replace(" ", "") for p in ("''", "'\"", "\"'")
+    ))
 )
 
 
@@ -177,6 +192,47 @@ def test_render_scan_identity_fuzz(text, scale):
 
     got = scan_image_bytes(render_text_png([text], scale), get_model())
     assert got == text, f"{text!r} @x{scale} -> {got!r}"
+
+
+def test_percent_dot_hijack_reference_quirk():
+    """'o' belongs to the percent-dot similarity set (the reference's
+    Default.conf adds lowercase o), and PercentMergeRule takes the target's
+    immediate LINE-LIST neighbors with only a Y-overlap gate — no X
+    distance (PercentMergeRule.java:46-62). So when the rule visits the
+    percent's left dot first, its neighbors are ('o', base) → the 'o' is
+    consumed as a dot and the orphaned right dot cleans up to '.'; and an
+    o/o sandwich around '/' (percent-base includes '/') fuses to '%'.
+    Pinned so a 'fix' can't silently diverge from the reference."""
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.font.render import render_text_png
+    from newocr_spark.kernel.scan import scan_image_bytes
+
+    m = get_model()
+    for text, expected in (("o%", "%."), ("o %", "%."), ("o/o", "%"),
+                           ("%o", "%o"), ("x/o", "x/o")):
+        got = scan_image_bytes(render_text_png([text], 2), m)
+        assert got == expected, f"{text!r} -> {got!r} (want {expected!r})"
+
+
+def test_apostrophe_adjacency_reference_quirk():
+    """ApostropheMergeRule pairs a short vertical-line piece with its NEXT
+    line-list neighbor when their heights agree within 25% and the x-gap is
+    inside height*apostropheRatio (ApostropheMergeRule.java:52-97) — so an
+    apostrophe adjacent to a quote steals the quote's left piece ('0\\'"'
+    → '0"\\''), and two apostrophes fuse into one quote ('a''b' → 'a"b').
+    A nearby full-height reference char suppresses the merge ("|'", "l'",
+    "'x'" all survive). Pinned faithful behavior."""
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.font.render import render_text_png
+    from newocr_spark.kernel.scan import scan_image_bytes
+
+    m = get_model()
+    for text, expected in (
+        ("0'\"", "0\"'"), ("a''b", 'a"b'),
+        ("|'", "|'"), ("l'", "l'"), ("'x'", "'x'"),
+    ):
+        got = scan_image_bytes(render_text_png([text], 2), m)
+        assert got == expected, f"{text!r} -> {got!r} (want {expected!r})"
 
 
 def test_short_glyph_line_leading_space_reference_quirk():
