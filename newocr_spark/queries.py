@@ -472,6 +472,22 @@ QUERIES = {
     "audio_metadata": q_audio_metadata,
 }
 
+
+def _register_web_queries() -> None:
+    """north_rule main-content extraction: HTML boilerplate strip, DOM
+    heuristics, PDF/layout parse — each oracle-checked via deterministic
+    round-trip fixtures (web/extract.py)."""
+    from .web import extract as W
+
+    QUERIES["html_main_text"] = W.q_html_main_text
+    QUERIES["html_spans"] = W.q_html_spans
+    QUERIES["pdf_extract"] = W.q_pdf_extract
+    QUERIES["web_extract"] = W.q_web_extract
+    ORACLES["html_main_text"] = W.html_main_text_sql()
+    ORACLES["html_spans"] = W.html_spans_sql()
+    ORACLES["pdf_extract"] = W.pdf_extract_sql()
+    ORACLES["web_extract"] = W.web_extract_sql()
+
 ORACLES = {
     "grouped_agg": SQL_GROUPED_AGG,
     "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
@@ -512,3 +528,4 @@ def _register_media_oracles() -> None:
 
 
 _register_media_oracles()
+_register_web_queries()

@@ -1,0 +1,323 @@
+"""Spark queries + DuckDB oracles for the web-extraction subsystem.
+
+Dataflow (north_rule: main-content extraction over interleaved docs):
+
+    documents.parquet ──mapInPandas──▶ synthesized HTML page   (fixture)
+        └──────────────mapInPandas──▶ DOM parse → boilerplate strip
+                                      → interleaved spans (input_hint shape)
+                                          ├─ text spans ──────────────┐
+                                          └─ media spans ─ OCR kernel ┤
+                                                                      ▼
+                                            extracted per-doc span sequence
+
+Scale shape: page synthesis, DOM parse, classification and PDF parse are
+all *narrow* maps over Arrow batches — zero shuffles; the only wide ops
+are the ones inside pipeline/extract.extract_spans (media attach + final
+per-doc window), already engineered for the 100 TB case. Every query here
+is oracle-checked: the fixtures are pure functions of (doc_id, text), so
+the expected output — paragraph chunking, span offsets, page counts —
+is reconstructed in DuckDB SQL over the same documents table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .boilerplate import extract_content
+from .htmlgen import MEDIA_EVERY, PARA_WORDS, page_html
+from .pdf import LINE_WORDS, LINES_PER_COL, doc_pdf, extract_pdf_text
+
+HTML_MAX_DOCS = 200
+PDF_MAX_DOCS = 200
+WEB_E2E_MAX_DOCS = 96
+
+# span offsets advance by len(text)+2 for text, 3 for media (object
+# replacement char + separator) — mirrored in the SQL oracles
+TEXT_ADV = 2
+MEDIA_ADV = 3
+
+
+def _corpus(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < max_docs)
+        .select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML: main text + title
+# ---------------------------------------------------------------------------
+
+
+def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize page → strip boilerplate → clean article text. One
+    narrow mapInPandas; no shuffle anywhere in the plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out = extract_content(page_html(int(did), text))
+                paras = [t for k, t, _ in out["items"] if k == "text"]
+                rows.append(
+                    (
+                        f"doc-{int(did):06d}",
+                        out["title"],
+                        "\n\n".join(paras),
+                        len(paras),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "main_text", "n_paras"]
+            )
+
+    return _corpus(spark, sf_dir, HTML_MAX_DOCS).mapInPandas(
+        run, "doc_id string, title string, main_text string, n_paras int"
+    )
+
+
+def html_main_text_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {max_docs}
+),
+words AS (
+  SELECT doc_id, w.word, w.pos FROM docs,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos) w
+),
+paras AS (
+  SELECT doc_id, CAST((pos - 1) // {PARA_WORDS} AS INT) AS para,
+         string_agg(word, ' ' ORDER BY pos) AS ptext
+  FROM words GROUP BY 1, 2
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       printf('Report %06d', doc_id) AS title,
+       string_agg(ptext, chr(10) || chr(10) ORDER BY para) AS main_text,
+       CAST(count(*) AS INT) AS n_paras
+FROM paras GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML: interleaved span extraction (input_hint shape)
+# ---------------------------------------------------------------------------
+
+
+def _items_to_spans(items) -> list[dict]:
+    """(kind, text, media_ref) items → span dicts with running offsets.
+    Headings ride separately (title); text/media become spans."""
+    spans, offset = [], 0
+    for kind, text, ref in items:
+        if kind == "text":
+            spans.append(
+                {"kind": "text", "text": text, "media_ref": None, "offset": offset}
+            )
+            offset += len(text) + TEXT_ADV
+        elif kind == "media":
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+            )
+            offset += MEDIA_ADV
+    return spans
+
+
+def q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out = extract_content(page_html(int(did), text))
+                for seq, s in enumerate(_items_to_spans(out["items"])):
+                    rows.append(
+                        (
+                            f"doc-{int(did):06d}",
+                            seq,
+                            s["kind"],
+                            s["text"],
+                            s["media_ref"],
+                            s["offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "seq", "kind", "text", "media_ref", "offset"],
+            )
+
+    return _corpus(spark, sf_dir, HTML_MAX_DOCS).mapInPandas(
+        run,
+        "doc_id string, seq int, kind string, text string, media_ref string, "
+        "offset int",
+    )
+
+
+def html_spans_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {max_docs}
+),
+words AS (
+  SELECT doc_id, w.word, w.pos FROM docs,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos) w
+),
+paras AS (
+  SELECT doc_id, CAST((pos - 1) // {PARA_WORDS} AS INT) AS para,
+         string_agg(word, ' ' ORDER BY pos) AS ptext
+  FROM words GROUP BY 1, 2
+),
+items AS (
+  SELECT doc_id, para * 2 AS ord, 'text' AS kind, ptext AS text,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         length(ptext) + {TEXT_ADV} AS adv
+  FROM paras
+  UNION ALL
+  SELECT doc_id, 1 AS ord, 'media', CAST(NULL AS VARCHAR),
+         printf('m-%06d', doc_id), {MEDIA_ADV}
+  FROM docs WHERE doc_id % {MEDIA_EVERY} = 0
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       CAST(row_number() OVER w - 1 AS INT) AS seq, kind, text, media_ref,
+       CAST(coalesce(sum(adv) OVER (PARTITION BY doc_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+         AS "offset"
+FROM items WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PDF: layout-aware text extraction
+# ---------------------------------------------------------------------------
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a PDF per doc (1/2-column, Flate/raw per doc_id) and
+    parse it back: object graph → content streams → text operators →
+    reading-order layout. Narrow map, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n_pages, body = extract_pdf_text(doc_pdf(int(did), text))
+                rows.append((f"doc-{int(did):06d}", n_pages, body))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "text"])
+
+    return _corpus(spark, sf_dir, PDF_MAX_DOCS).mapInPandas(
+        run, "doc_id string, n_pages int, text string"
+    )
+
+
+def pdf_extract_sql(max_docs: int = PDF_MAX_DOCS) -> str:
+    two_col_cap = 2 * LINES_PER_COL
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {max_docs}
+),
+words AS (
+  SELECT doc_id, w.word, w.pos FROM docs,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos) w
+),
+lines AS (
+  SELECT doc_id, CAST((pos - 1) // {LINE_WORDS} AS INT) AS line,
+         string_agg(word, ' ' ORDER BY pos) AS ltext
+  FROM words GROUP BY 1, 2
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       CAST(ceil(count(*) * 1.0 /
+            CASE WHEN doc_id % 4 = 1 THEN {two_col_cap}
+                 ELSE {LINES_PER_COL} END) AS INT) AS n_pages,
+       string_agg(ltext, chr(10) ORDER BY line) AS text
+FROM lines GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: HTML → interleaved spans → OCR → assembled span sequence
+# ---------------------------------------------------------------------------
+
+SPANS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def html_to_documents(corpus: DataFrame) -> DataFrame:
+    """HTML extraction emitting the exact input_hint table shape
+    documents(doc_id, spans) — the bridge from raw web pages into the OCR
+    extraction pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out = extract_content(page_html(int(did), text))
+                ids.append(f"doc-{int(did):06d}")
+                spans.append(_items_to_spans(out["items"]))
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return corpus.mapInPandas(run, SPANS_SCHEMA)
+
+
+def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 flagship: synthesized web pages are boilerplate-
+    stripped into interleaved text+media spans; embedded figures resolve
+    against the rendered media table and run through the OCR kernel; the
+    final output is the per-doc span sequence in offset order — the whole
+    north_rule in one plan."""
+    from ..artifacts import get_model
+    from ..fixtures import corpus_fixture_tables
+    from ..pipeline.extract import extract_spans
+
+    model = get_model()
+    _docs, media = corpus_fixture_tables(
+        spark, sf_dir, model, max_docs=WEB_E2E_MAX_DOCS
+    )
+    corpus = _corpus(spark, sf_dir, WEB_E2E_MAX_DOCS)
+    docs = html_to_documents(corpus)
+    return extract_spans(spark, docs, media, model, ocr_partitions=16).select(
+        "doc_id", "seq", "kind", "text", "media_ref", "offset"
+    )
+
+
+def web_extract_sql(max_docs: int = WEB_E2E_MAX_DOCS) -> str:
+    """Expected spans: paragraphs at running offsets; for doc_id%3==0 a
+    media span whose recognized text equals the full source text (the
+    corpus media renders `text`, and recognition is exact)."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {max_docs}
+),
+words AS (
+  SELECT doc_id, w.word, w.pos FROM docs,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos) w
+),
+paras AS (
+  SELECT doc_id, CAST((pos - 1) // {PARA_WORDS} AS INT) AS para,
+         string_agg(word, ' ' ORDER BY pos) AS ptext
+  FROM words GROUP BY 1, 2
+),
+items AS (
+  SELECT doc_id, para * 2 AS ord, ptext AS text,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         length(ptext) + {TEXT_ADV} AS adv
+  FROM paras
+  UNION ALL
+  SELECT d.doc_id, 1 AS ord, d.text, printf('m-%06d', d.doc_id), {MEDIA_ADV}
+  FROM docs d WHERE d.doc_id % {MEDIA_EVERY} = 0
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       CAST(row_number() OVER w - 1 AS INT) AS seq, 'text' AS kind, text,
+       media_ref,
+       CAST(coalesce(sum(adv) OVER (PARTITION BY doc_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+         AS "offset"
+FROM items WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+"""

@@ -1,0 +1,120 @@
+"""Deterministic HTML page synthesis from the driver's documents table.
+
+north_rule mandates extraction fixtures we synthesise ourselves. Each
+(doc_id, text) row becomes a full page: the text, split into 12-word
+paragraphs, is the article body; everything else is boilerplate chrome —
+site header + nav, breadcrumbs, link-dense sidebar, a link-heavy byline,
+an inline ad between paragraphs, a comments section with *long* comment
+text (a blacklist trap: word-count rules alone would keep it), and a
+footer. Docs with ``doc_id % 3 == 0`` embed a figure image pointing at
+the corpus media ref ``m-%06d`` (the same ref corpus_fixture_tables
+renders), so extracted spans interleave text + media exactly like the
+input_hint shape.
+
+Because the construction is a pure function of (doc_id, text), the
+expected extractor output is expressible in DuckDB SQL over the same
+documents table (web/extract.py builds those oracles).
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+PARA_WORDS = 12
+MEDIA_EVERY = 3  # docs with doc_id % MEDIA_EVERY == 0 carry a figure
+
+_VOCAB = (
+    "alpha beta gamma delta epsilon zeta theta kappa sigma omega quartz "
+    "lumen vertex cobalt fathom zephyr onyx raven tundra ember"
+).split()
+
+
+def _junk_words(doc_id: int, salt: int, n: int) -> str:
+    return " ".join(
+        _VOCAB[(doc_id * 7 + salt * 13 + i * 3) % len(_VOCAB)] for i in range(n)
+    )
+
+
+def paragraphs_of(text: str) -> list[str]:
+    """12-word chunks of text.split(' ') — mirrored by the SQL oracles
+    (string_split(text,' ') grouped by (pos-1)/12)."""
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + PARA_WORDS]) for i in range(0, len(words), PARA_WORDS)
+    ]
+
+
+def has_figure(doc_id: int) -> bool:
+    return doc_id % MEDIA_EVERY == 0
+
+
+def page_html(doc_id: int, text: str) -> str:
+    paras = paragraphs_of(text)
+    title = f"Report {doc_id:06d}"
+    e = lambda s: _html.escape(s, quote=False)
+
+    body_parts: list[str] = [f"<h1>{title}</h1>"]
+    body_parts.append(
+        f'<p class="byline"><a href="/u/{doc_id % 17}">staff writer</a>'
+        f" &mdash; 2026-01-{1 + doc_id % 28:02d}</p>"
+    )
+    for i, p in enumerate(paras):
+        body_parts.append(f"<p>{e(p)}</p>")
+        if i == 0 and has_figure(doc_id):
+            body_parts.append(
+                f'<figure><img src="m-{doc_id:06d}" alt="figure {doc_id}">'
+                f"<figcaption>fig. {doc_id % 9}</figcaption></figure>"
+            )
+        if i == 1 and len(paras) > 2:
+            body_parts.append(
+                f'<div class="ad-inline">Sponsored: {_junk_words(doc_id, 5, 6)} '
+                '<a href="#">click here</a></div>'
+            )
+    article = "\n".join(body_parts)
+
+    sidebar_links = "\n".join(
+        f'<li><a href="/r/{(doc_id + k) % 100}">{_junk_words(doc_id, k, 3)}</a></li>'
+        for k in range(5)
+    )
+    comments = "\n".join(
+        f'<div class="comment"><span class="author">user{(doc_id + k) % 50}</span> '
+        f"{_junk_words(doc_id, 20 + k, 14)}</div>"
+        for k in range(2)
+    )
+
+    return f"""<!DOCTYPE html>
+<html><head><title>{title} &mdash; Example Corpus</title>
+<script>var page={doc_id};</script><style>.layout{{display:flex}}</style></head>
+<body>
+<header class="site-header">
+<img src="/static/logo.png" class="logo" alt="logo">
+<nav class="top-nav"><ul>
+<li><a href="/">Home</a></li><li><a href="/reports">Reports</a></li>
+<li><a href="/tags">{_junk_words(doc_id, 31, 2)}</a></li>
+<li><a href="/contact">Contact</a></li>
+</ul></nav>
+</header>
+<div class="breadcrumbs"><a href="/">Home</a> &raquo; <a href="/reports">Reports</a> &raquo; {title}</div>
+<div class="layout">
+<aside class="sidebar">
+<h3>Related reports</h3>
+<ul>
+{sidebar_links}
+</ul>
+<div class="ad-box">Sponsored: {_junk_words(doc_id, 9, 5)} <a href="#">Learn more</a></div>
+</aside>
+<main class="content-area">
+<article class="report">
+{article}
+</article>
+</main>
+</div>
+<div class="comments">
+<h3>Comments</h3>
+{comments}
+</div>
+<footer class="site-footer">
+<p>&copy; 2026 Example Corp. All rights reserved.</p>
+<ul class="footer-links"><li><a href="/tos">Terms</a></li><li><a href="/privacy">Privacy</a></li></ul>
+</footer>
+</body></html>"""

@@ -1,0 +1,191 @@
+"""Web main-content extraction: DOM heuristics, boilerplate stripping and
+the PDF layout parser on inputs the fixture generator never produces —
+the classifier must be generic, not fixture-overfit."""
+
+import zlib
+
+import pytest
+
+from newocr_spark.web.boilerplate import extract_content, main_text
+from newocr_spark.web.dom import parse_html, segment_blocks
+from newocr_spark.web.pdf import (
+    extract_pdf_text,
+    make_pdf,
+)
+
+LONG_A = "the committee approved the updated budget after a long debate over funding"
+LONG_B = "council members voted nine to two in favor of the revised proposal text"
+LONG_C = "construction on the new bridge is expected to begin early next spring"
+
+
+def test_plain_divs_no_semantic_tags():
+    """Content in anonymous divs, no <article>/<main>: word-count + link
+    density rules alone must find it."""
+    html = f"""
+    <html><body>
+    <div class="hdr"><a href="/">Site</a> <a href="/a">News</a> <a href="/b">Sports</a></div>
+    <div id="page">
+      <div><p>{LONG_A}</p><p>{LONG_B}</p><p>{LONG_C}</p></div>
+      <div class="foot"><a href="/tos">Terms</a> <a href="/p">Privacy</a></div>
+    </div>
+    </body></html>"""
+    assert main_text(html) == f"{LONG_A}\n\n{LONG_B}\n\n{LONG_C}"
+
+
+def test_link_dense_list_is_boiler_even_with_many_words():
+    menu = " ".join(f'<a href="/{i}">item number {i} here</a>' for i in range(12))
+    html = f"<body><div>{menu}</div><div><p>{LONG_A}</p></div></body>"
+    assert main_text(html) == LONG_A
+
+
+def test_long_comment_text_is_stripped_by_class():
+    html = f"""
+    <body><article><p>{LONG_A}</p></article>
+    <div class="comments"><div class="comment">{LONG_B} {LONG_C} {LONG_B}</div></div>
+    </body>"""
+    assert main_text(html) == LONG_A
+
+
+def test_nav_aside_footer_subtrees_always_boiler():
+    html = f"""
+    <body>
+    <nav><p>{LONG_B}</p></nav>
+    <article><p>{LONG_A}</p></article>
+    <aside><p>{LONG_C}</p></aside>
+    <footer><p>{LONG_B}</p></footer>
+    </body>"""
+    assert main_text(html) == LONG_A
+
+
+def test_short_block_smoothing_same_parent():
+    html = f"""
+    <body><div id="content">
+    <p>{LONG_A}</p><p>short tail line</p>
+    </div><div class="sidebar"><p>{LONG_C}</p></div></body>"""
+    # sidebar blacklisted; trailing short sibling paragraph kept
+    assert main_text(html) == f"{LONG_A}\n\nshort tail line"
+
+
+def test_heading_attaches_to_following_content():
+    html = f"""
+    <body><div>
+    <h2>Budget approved</h2><p>{LONG_A}</p>
+    </div></body>"""
+    out = extract_content(html)
+    kinds = [k for k, _, _ in out["items"]]
+    assert kinds == ["heading", "text"]
+    assert out["title"] == "Budget approved"
+
+
+def test_orphan_heading_is_boiler():
+    html = f"<body><div><h2>Lonely heading</h2></div><article><p>{LONG_A}</p></article></body>"
+    out = extract_content(html)
+    assert all(t != "Lonely heading" for _, t, _ in out["items"])
+
+
+def test_images_follow_container_not_position():
+    html = f"""
+    <body>
+    <header class="top"><img src="logo.png"></header>
+    <article><p>{LONG_A}</p><img src="m-000042"><p>{LONG_B}</p></article>
+    <aside><img src="ad.gif"></aside>
+    </body>"""
+    out = extract_content(html)
+    assert [m for k, _, m in out["items"] if k == "media"] == ["m-000042"]
+
+
+def test_malformed_html_tolerated():
+    html = f"<body><div><p>{LONG_A}<p>{LONG_B}</em></div extra></body></html></html>"
+    assert f"{LONG_A}" in main_text(html)
+    assert f"{LONG_B}" in main_text(html)
+
+
+def test_entities_and_uppercase_tags():
+    html = f"<BODY><ARTICLE><P>{LONG_A} &amp; more &#8212; done</P></ARTICLE></BODY>"
+    assert main_text(html) == f"{LONG_A} & more — done"
+
+
+def test_script_style_content_never_leaks():
+    html = f"""
+    <body><script>var x = "{LONG_B}";</script><style>p {{color:red}}</style>
+    <article><p>{LONG_A}</p></article></body>"""
+    assert main_text(html) == LONG_A
+
+
+def test_whitespace_normalized_within_blocks():
+    html = f"<body><article><p>  {LONG_A.replace(' ', '   ')}\n\t</p></article></body>"
+    assert main_text(html) == LONG_A
+
+
+def test_empty_and_degenerate_pages():
+    assert main_text("") == ""
+    assert main_text("<body></body>") == ""
+    assert extract_content("<body><nav><a href='/'>x</a></nav></body>")["items"] == []
+
+
+def test_segment_blocks_link_density():
+    root = parse_html(
+        '<body><div><a href="/">one two three</a> four five six</div></body>'
+    )
+    blocks = segment_blocks(root)
+    assert len(blocks) == 1
+    assert blocks[0].n_words == 6
+    assert blocks[0].n_anchor_words == 3
+    assert blocks[0].link_density == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_multipage_pagination():
+    lines = [f"line number {i} of the test document body" for i in range(15)]
+    n_pages, text = extract_pdf_text(make_pdf(lines))
+    assert n_pages == 3  # 6 lines per single-column page
+    assert text == "\n".join(lines)
+
+
+def test_pdf_two_column_reading_order():
+    lines = [f"col line {i}" for i in range(10)]
+    n_pages, text = extract_pdf_text(make_pdf(lines, two_col=True))
+    assert n_pages == 1
+    assert text == "\n".join(lines)  # left column first, then right
+
+
+def test_pdf_raw_and_flate_agree():
+    lines = ["alpha beta gamma", "delta epsilon zeta"]
+    for compress in (True, False):
+        _, text = extract_pdf_text(make_pdf(lines, compress=compress))
+        assert text == "\n".join(lines)
+
+
+def test_pdf_string_escapes_roundtrip():
+    lines = ["parens (nested (deep)) fine", "back\\slash and close) paren"]
+    _, text = extract_pdf_text(make_pdf(lines))
+    assert text == "\n".join(lines)
+
+
+def test_pdf_quote_operators_and_octal():
+    """Content stream using TL/T*/'/octal escapes — operators our writer
+    doesn't emit — must still parse."""
+    content = b"BT /F1 11 Tf 14 TL 72 720 Td (first line) Tj (second\\040line) ' (third) ' ET"
+    data = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>\n"
+        b"stream\n" + data + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    n_pages, text = extract_pdf_text(pdf)
+    assert n_pages == 1
+    assert text == "first line\nsecond line\nthird"
+
+
+def test_pdf_empty_input():
+    n_pages, text = extract_pdf_text(make_pdf([]))
+    assert n_pages == 1
+    assert text == ""
