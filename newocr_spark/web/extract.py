@@ -259,18 +259,48 @@ SPANS_SCHEMA = (
 )
 
 
-def html_to_documents(corpus: DataFrame) -> DataFrame:
+def html_to_documents(corpus: DataFrame, html_col: str | None = None) -> DataFrame:
     """HTML extraction emitting the exact input_hint table shape
     documents(doc_id, spans) — the bridge from raw web pages into the OCR
-    extraction pipeline."""
+    extraction pipeline.
+
+    Two input shapes:
+
+    * ``html_col=None`` (fixture mode): corpus is (doc_id:int, text); the
+      page is synthesized deterministically and doc_id is formatted
+      ``doc-%06d`` — oracle-reconstructable.
+    * ``html_col='html'`` (production shape): corpus is
+      (doc_id:string, html); the stored page is extracted as-is and doc_id
+      passes through. Per-document fault isolation: a page that fails to
+      parse yields one ``kind='error'`` span carrying the exception (the
+      downstream pipeline keeps only text/media kinds, so errors are
+      queryable here without poisoning extraction)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, spans = [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                out = extract_content(page_html(int(did), text))
-                ids.append(f"doc-{int(did):06d}")
-                spans.append(_items_to_spans(out["items"]))
+            if html_col is None:
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    out = extract_content(page_html(int(did), text))
+                    ids.append(f"doc-{int(did):06d}")
+                    spans.append(_items_to_spans(out["items"]))
+            else:
+                for did, html in zip(pdf["doc_id"], pdf[html_col]):
+                    try:
+                        out = extract_content(html)
+                        spans.append(_items_to_spans(out["items"]))
+                    except Exception as exc:
+                        spans.append(
+                            [
+                                {
+                                    "kind": "error",
+                                    "text": f"{type(exc).__name__}: {exc}",
+                                    "media_ref": None,
+                                    "offset": 0,
+                                }
+                            ]
+                        )
+                    ids.append(str(did))
             yield pd.DataFrame({"doc_id": ids, "spans": spans})
 
     return corpus.mapInPandas(run, SPANS_SCHEMA)

@@ -1,0 +1,104 @@
+"""Resumable web extraction: HTML → interleaved spans → bucketed OCR via
+the same checkpoint/lineage machinery as the OCR job (jobs/web_extract_job
+wiring, tested through its components)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+N_DOCS = 48
+
+
+@pytest.fixture(scope="module")
+def web_inputs(spark, font_model):
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.web.extract import html_to_documents
+
+    _docs, media = corpus_fixture_tables(
+        spark, SF_DIR, font_model, max_docs=N_DOCS
+    )
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select("doc_id", "text")
+    )
+    docs = html_to_documents(corpus)
+    return docs.cache(), media.cache()
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref, r.offset)
+        for r in df.select(
+            "doc_id", "seq", "kind", "text", "media_ref", "offset"
+        ).collect()
+    )
+
+
+def test_web_resume_no_dup_no_loss(spark, font_model, web_inputs, tmp_path):
+    """Crash mid-run, resume, and the checkpointed pipeline's output equals
+    the direct (single-shot) extraction of the same inputs."""
+    from newocr_spark.pipeline.extract import extract_spans
+    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+
+    docs, media = web_inputs
+    out = str(tmp_path / "out")
+    state = StateTable(spark, str(tmp_path / "state"))
+    runner = ExtractRunner(
+        spark, font_model, out, state, n_buckets=8, group_size=2,
+        fail_after_groups=1,
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(docs, media, input_snapshot="web-1", run_id="run-a")
+    assert 0 < len(state.completed_buckets(runner.snapshot_key("web-1"))) < 8
+
+    runner.fail_after_groups = None
+    stats = runner.run(docs, media, input_snapshot="web-1", run_id="run-b")
+    assert stats["buckets_done"] == 8
+
+    result = runner.read_output()
+    assert result.groupBy("doc_id", "seq").count().filter("count > 1").count() == 0
+    direct = extract_spans(spark, docs, media, font_model)
+    assert _rows(result) == _rows(direct)
+    # recognized media spans carry the rendered source text
+    st = state.read()
+    assert st.filter(F.col("glyph_count") > 0).count() > 0
+
+
+def test_html_col_path_matches_fixture_path(spark):
+    """Stored-raw-HTML extraction (production shape) agrees with the
+    fixture-synthesis path on the same pages."""
+    from newocr_spark.web.extract import html_to_documents
+    from newocr_spark.web.htmlgen import page_html
+
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    via_fixture = html_to_documents(corpus).collect()
+
+    rows = [
+        (f"doc-{int(r.doc_id):06d}", page_html(int(r.doc_id), r.text))
+        for r in corpus.collect()
+    ]
+    stored = spark.createDataFrame(rows, "doc_id string, html string")
+    via_stored = html_to_documents(stored, html_col="html").collect()
+
+    as_map = lambda rs: {r.doc_id: [tuple(s) for s in r.spans] for r in rs}
+    assert as_map(via_fixture) == as_map(via_stored)
+
+
+def test_html_col_fault_isolation(spark):
+    """A page that fails to parse yields one error span; neighbours are
+    unaffected (per-document isolation inside the Arrow batch)."""
+    from newocr_spark.web.extract import html_to_documents
+
+    good = "<body><article><p>" + " ".join(["word"] * 12) + "</p></article></body>"
+    stored = spark.createDataFrame(
+        [("d-good", good), ("d-bad", None)], "doc_id string, html string"
+    )
+    out = {r.doc_id: r.spans for r in html_to_documents(stored, html_col="html").collect()}
+    assert [s.kind for s in out["d-good"]] == ["text"]
+    assert [s.kind for s in out["d-bad"]] == ["error"]
+    assert "TypeError" in out["d-bad"][0].text
