@@ -52,6 +52,42 @@ def stream_extract(
     return writer.start()
 
 
+def stream_web_extract(
+    spark: SparkSession,
+    corpus_path: str,
+    media: DataFrame,
+    model: FontModel,
+    output_path: str,
+    checkpoint_path: str,
+    html_col: str | None = None,
+    schema=None,
+    trigger_once: bool = True,
+):
+    """Continuous ingestion for the round-2 web pipeline: new raw-page
+    files → boilerplate strip → interleaved spans → OCR of media spans →
+    extracted span rows, appended exactly-once per input file (file-source
+    checkpoint). Same micro-batch composition as the batch job
+    (jobs/web_extract_job.py): the HTML stage is stateless/narrow, so the
+    streaming wrapper adds no state beyond the source progress log."""
+    from ..web.extract import html_to_documents
+
+    if schema is None:
+        schema = spark.read.parquet(corpus_path).schema
+    stream = spark.readStream.schema(schema).parquet(corpus_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = html_to_documents(batch_df, html_col=html_col)
+        extracted = extract_spans(spark, docs, media, model)
+        extracted.write.mode("append").parquet(output_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_metrics(
     spark: SparkSession,
     extracted_path: str,

@@ -111,6 +111,53 @@ FROM paras GROUP BY doc_id
 """
 
 
+def q_html_block_stats(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+) -> DataFrame:
+    """Classifier certification: TOTAL block and boilerplate-block counts
+    per page. The fixture page structure is closed-form — chrome
+    contributes 21 blocks (19 boiler), a figure adds 2 (media+caption), an
+    inline ad adds 1 boiler — so any block the classifier mislabels
+    (a sidebar item leaking into content, a paragraph marked boiler) shifts
+    a count and turns the oracle red. Stronger than the round-trip checks,
+    which only see the content side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out = extract_content(page_html(int(did), text))
+                n_paras = sum(1 for k, _, _ in out["items"] if k == "text")
+                rows.append(
+                    (f"doc-{int(did):06d}", n_paras, out["n_blocks"], out["n_boiler"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_paras", "n_blocks", "n_boiler"]
+            )
+
+    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+        run, "doc_id string, n_paras int, n_blocks int, n_boiler int"
+    )
+
+
+def html_block_stats_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text,
+         CAST((len(string_split(text, ' ')) + {PARA_WORDS - 1})
+              // {PARA_WORDS} AS INT) AS p
+  FROM documents WHERE doc_id < {max_docs}
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       p AS n_paras,
+       CAST(p + 21
+            + CASE WHEN doc_id % {MEDIA_EVERY} = 0 THEN 2 ELSE 0 END
+            + CASE WHEN p > 2 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+       CAST(19 + CASE WHEN p > 2 THEN 1 ELSE 0 END AS INT) AS n_boiler
+FROM docs
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML: interleaved span extraction (input_hint shape)
 # ---------------------------------------------------------------------------

@@ -52,6 +52,18 @@ CHECKS = {
         "narrow ArrowEvalPython map, no cross product",
         ["ArrowEvalPython"],
     ),
+    "html_main_text": (
+        "boilerplate strip is ONE narrow MapInPandas over the pruned "
+        "(doc_id, text) scan — zero exchanges anywhere in the plan",
+        ["MapInPandas"],
+        ["Exchange"],
+    ),
+    "web_extract": (
+        "HTML→spans stage is narrow; span metadata broadcasts onto media "
+        "(image bytes never shuffle); the only exchange feeds the final "
+        "per-doc window",
+        ["MapInPandas", "BroadcastHashJoin"],
+    ),
 }
 
 
@@ -68,14 +80,20 @@ def main() -> None:
         f"Captured from `{SF}` with AQE on. Regenerate: "
         "`python scripts/explain_plans.py`.\n"
     )
-    for name, (why, expect) in CHECKS.items():
+    for name, spec in CHECKS.items():
+        why, expect = spec[0], spec[1]
+        forbid = spec[2] if len(spec) > 2 else []
         df = queries[name](spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
         missing = [tok for tok in expect if tok not in plan]
-        status = "OK" if not missing else f"MISSING {missing}"
+        present = [tok for tok in forbid if tok in plan]
+        status = "OK" if not (missing or present) else (
+            (f"MISSING {missing} " if missing else "")
+            + (f"FORBIDDEN-PRESENT {present}" if present else "")
+        ).strip()
         out.append(f"\n## {name}\n\n*Expectation:* {why}  \n*Check:* {status}\n")
         out.append("```\n" + plan.strip()[:6000] + "\n```\n")
         print(f"{name}: {status}")

@@ -127,36 +127,46 @@ def child(
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    wreps = spark.range(web_replicate).select(F.col("id").alias("rep"))
-    corpus = (
-        src.crossJoin(wreps)
-        .select(
-            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
-        )
-        .repartition(cpus * 4)
-        .cache()
-    )
-    n_web = corpus.count()
 
-    def web_pass():
+    def web_corpus(n_reps: int):
+        wreps = spark.range(n_reps).select(F.col("id").alias("rep"))
+        c = (
+            src.crossJoin(wreps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                "text",
+            )
+            .repartition(cpus * 4)
+            .cache()
+        )
+        return c, c.count()
+
+    def web_pass(c):
         return (
-            extract_main_text(corpus)
+            extract_main_text(c)
             .agg(F.sum("n_paras").alias("paras"), F.count("*").alias("n"))
             .collect()[0]
         )
 
+    # same protocol as OCR: warm to steady state on a small replica, then
+    # time a 4x-larger one so per-pass fixed costs (scheduling, cache scan,
+    # Arrow setup) amortize as on a long-running job
+    corpus_w, _ = web_corpus(web_replicate)
     prev = None
     for _ in range(4):
         t0 = time.time()
-        web_pass()
+        web_pass(corpus_w)
         cur = time.time() - t0
         if prev is not None and cur > prev * 0.95:
             break
         prev = cur
+    corpus_w.unpersist()
+
+    corpus_t, n_web = web_corpus(web_replicate * 4)
     web_wall = float("inf")
     for _ in range(2):
         t0 = time.time()
-        web_pass()
+        web_pass(corpus_t)
         web_wall = min(web_wall, time.time() - t0)
 
     print(

@@ -191,3 +191,60 @@ def test_stream_metrics_watermark_rollup(spark, tmp_path):
     # window 2 awaits a future batch whose predecessor's watermark passes
     # 12:03 — append-mode semantics, no premature emission
     assert 2 not in got
+
+
+def test_stream_web_extract_incremental(spark, font_model, tmp_path):
+    """Round-2 web pipeline under Structured Streaming: two raw-page file
+    drops; the checkpoint processes each exactly once and the accumulated
+    output equals the single-shot batch extraction."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from newocr_spark.fixtures import corpus_fixture_tables
+    from newocr_spark.pipeline.extract import extract_spans
+    from newocr_spark.pipeline.streaming import stream_web_extract
+    from newocr_spark.web.extract import html_to_documents
+
+    SF = "/root/testdata/sf0.001"
+    corpus = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 32)
+        .select("doc_id", "text")
+    )
+    _d, media = corpus_fixture_tables(spark, SF, font_model, max_docs=32)
+    media = media.cache()
+
+    # stage the two drops OUTSIDE the watched directory: the file source
+    # ingests every visible file in the dir regardless of extension
+    corpus_dir = str(tmp_path / "pages")
+    os.makedirs(corpus_dir)
+    staged = []
+    for i, cond in enumerate(("doc_id < 16", "doc_id >= 16")):
+        part = str(tmp_path / f"h{i}")
+        corpus.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        staged.append(f"{part}/{src}")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    shutil.copy(staged[0], f"{corpus_dir}/part-0.parquet")
+    q = stream_web_extract(spark, corpus_dir, media, font_model, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    shutil.copy(staged[1], f"{corpus_dir}/part-1.parquet")
+    q = stream_web_extract(spark, corpus_dir, media, font_model, out, ckpt)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+
+    direct = extract_spans(spark, html_to_documents(corpus), media, font_model)
+    key = lambda df: sorted(
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref, r.offset)
+        for r in df.select(
+            "doc_id", "seq", "kind", "text", "media_ref", "offset"
+        ).collect()
+    )
+    assert key(result) == key(direct)
+    assert result.groupBy("doc_id", "seq").count().filter("count > 1").count() == 0

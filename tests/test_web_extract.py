@@ -189,3 +189,58 @@ def test_pdf_empty_input():
     n_pages, text = extract_pdf_text(make_pdf([]))
     assert n_pages == 1
     assert text == ""
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: round-trip identity on random content
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # words over a printable alphabet incl. HTML/PDF metacharacters
+    _word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789&<>()\\\"'%",
+        min_size=1,
+        max_size=10,
+    )
+    _text = st.lists(_word, min_size=1, max_size=60).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(doc_id=st.integers(0, 10**6 - 1), text=_text)
+    def test_html_roundtrip_random_text(doc_id, text):
+        from newocr_spark.web.htmlgen import page_html, paragraphs_of, has_figure
+
+        out = extract_content(page_html(doc_id, text))
+        assert [t for k, t, _ in out["items"] if k == "text"] == paragraphs_of(text)
+        media = [m for k, _, m in out["items"] if k == "media"]
+        assert media == ([f"m-{doc_id:06d}"] if has_figure(doc_id) else [])
+        assert out["title"] == f"Report {doc_id:06d}"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lines=st.lists(
+            st.text(
+                alphabet="abcdefghijklmnop ()\\%0123456789",
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        two_col=st.booleans(),
+        compress=st.booleans(),
+    )
+    def test_pdf_roundtrip_random_lines(lines, two_col, compress):
+        # the extractor normalizes intra-line whitespace and drops blank
+        # lines — compare against the same normalization
+        expect = [" ".join(l.split()) for l in lines]
+        expect = [l for l in expect if l]
+        _, text = extract_pdf_text(make_pdf(lines, two_col=two_col, compress=compress))
+        assert text == "\n".join(expect)
