@@ -25,7 +25,10 @@ BLACKLIST_TOKENS = frozenset(
         "nav menu navbar breadcrumb breadcrumbs footer sidebar aside ad ads advert "
         "advertisement banner promo sponsored comment comments share social related "
         "widget cookie copyright legal disclaimer pagination pager masthead subnav "
-        "toolbar dropdown login signup newsletter popup modal skyscraper outbrain"
+        "toolbar dropdown login signup newsletter popup modal skyscraper outbrain "
+        # byline detection after Readability.js REGEXPS.byline — author/date
+        # rows otherwise ride a container's whitelist token into the output
+        "byline author dateline writtenby topbar"
     ).split()
 )
 

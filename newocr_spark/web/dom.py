@@ -285,10 +285,19 @@ def segment_blocks(root: Element) -> list[Block]:
                 flush()
                 ctx.update(prev)
             else:
+                # word-boundary markers around each top-level anchor:
+                # adjacent <a>x</a><a>y</a> is one text run ("xy", correct
+                # HTML semantics) but must count as TWO anchor words, or a
+                # link bar's density collapses to ~0
+                entering_anchor = child.tag == "a" and not in_anchor
+                if entering_anchor:
+                    anchor_frags.append(" ")
                 walk(
                     child, in_anchor or child.tag == "a",
                     ctoks, csem, cfig, cart,
                 )
+                if entering_anchor:
+                    anchor_frags.append(" ")
         # text directly under the current container after the last child
         # is flushed by the caller
 

@@ -141,19 +141,24 @@ def q_html_block_stats(
 
 
 def html_block_stats_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    """Chrome contributes 21 blocks (19 boiler) on the semantic template
+    and 13 (12 boiler) on the tabular one; a figure adds media+caption, an
+    inline ad one boiler block."""
     return f"""
 WITH docs AS (
   SELECT doc_id, text,
          CAST((len(string_split(text, ' ')) + {PARA_WORDS - 1})
-              // {PARA_WORDS} AS INT) AS p
+              // {PARA_WORDS} AS INT) AS p,
+         doc_id % 2 = 0 AS semantic
   FROM documents WHERE doc_id < {max_docs}
 )
 SELECT printf('doc-%06d', doc_id) AS doc_id,
        p AS n_paras,
-       CAST(p + 21
+       CAST(p + CASE WHEN semantic THEN 21 ELSE 13 END
             + CASE WHEN doc_id % {MEDIA_EVERY} = 0 THEN 2 ELSE 0 END
             + CASE WHEN p > 2 THEN 1 ELSE 0 END AS INT) AS n_blocks,
-       CAST(19 + CASE WHEN p > 2 THEN 1 ELSE 0 END AS INT) AS n_boiler
+       CAST(CASE WHEN semantic THEN 19 ELSE 12 END
+            + CASE WHEN p > 2 THEN 1 ELSE 0 END AS INT) AS n_boiler
 FROM docs
 """
 

@@ -48,16 +48,27 @@ def has_figure(doc_id: int) -> bool:
     return doc_id % MEDIA_EVERY == 0
 
 
+def template_of(doc_id: int) -> str:
+    """Two page skeletons so the extractor can't key on one layout:
+    'semantic' (header/nav/aside/article/footer) and 'tabular' (1998-style
+    table layout, div soup, zero semantic tags)."""
+    return "semantic" if doc_id % 2 == 0 else "tabular"
+
+
 def page_html(doc_id: int, text: str) -> str:
+    if template_of(doc_id) == "tabular":
+        return _page_html_tabular(doc_id, text)
+    return _page_html_semantic(doc_id, text)
+
+
+def _article_body(doc_id: int, text: str, e, byline: str | None = None) -> str:
+    """Shared inner article: h1, optional byline, paragraphs, optional
+    figure after the first paragraph, inline ad between paragraphs 2/3."""
     paras = paragraphs_of(text)
     title = f"Report {doc_id:06d}"
-    e = lambda s: _html.escape(s, quote=False)
-
     body_parts: list[str] = [f"<h1>{title}</h1>"]
-    body_parts.append(
-        f'<p class="byline"><a href="/u/{doc_id % 17}">staff writer</a>'
-        f" &mdash; 2026-01-{1 + doc_id % 28:02d}</p>"
-    )
+    if byline:
+        body_parts.append(byline)
     for i, p in enumerate(paras):
         body_parts.append(f"<p>{e(p)}</p>")
         if i == 0 and has_figure(doc_id):
@@ -70,7 +81,60 @@ def page_html(doc_id: int, text: str) -> str:
                 f'<div class="ad-inline">Sponsored: {_junk_words(doc_id, 5, 6)} '
                 '<a href="#">click here</a></div>'
             )
-    article = "\n".join(body_parts)
+    return "\n".join(body_parts)
+
+
+def _page_html_tabular(doc_id: int, text: str) -> str:
+    """Table-layout page: link bar, menu cell, post div — no semantic
+    tags, no <article>; the classifier must find the content cell by
+    features alone."""
+    title = f"Report {doc_id:06d}"
+    e = lambda s: _html.escape(s, quote=False)
+    menu = "\n".join(
+        f'<li><a href="/cat/{(doc_id + k) % 40}">{_junk_words(doc_id, 40 + k, 2)}</a></li>'
+        for k in range(6)
+    )
+    topbar = " | ".join(
+        f'<a href="/s/{k}">{_junk_words(doc_id, 50 + k, 1)}</a>' for k in range(6)
+    )
+    comments = "\n".join(
+        f'<div class="comment">{_junk_words(doc_id, 60 + k, 13)}</div>'
+        for k in range(2)
+    )
+    return f"""<html><head><title>{title}</title>
+<script type="text/javascript">document.write('{doc_id}');</script></head>
+<body bgcolor="#ffffff">
+<div class="topbar">{topbar}</div>
+<table class="layout" width="100%"><tr>
+<td class="menu-cell" width="180" valign="top">
+<ul>
+{menu}
+</ul>
+<div class="promo">Hot deal: {_junk_words(doc_id, 70, 4)} <a href="#">buy</a></div>
+</td>
+<td valign="top">
+<div class="post">
+<div class="meta byline">Posted by <a href="/u/{doc_id % 23}">user{doc_id % 23}</a> on 2026-02-{1 + doc_id % 28:02d}</div>
+<div class="post-body">
+{_article_body(doc_id, text, e)}
+</div>
+</div>
+</td>
+</tr></table>
+<div class="comments">{comments}</div>
+<div class="footer-links"><a href="/tos">Terms</a> <a href="/priv">Privacy</a> &copy; 2026</div>
+</body></html>"""
+
+
+def _page_html_semantic(doc_id: int, text: str) -> str:
+    title = f"Report {doc_id:06d}"
+    e = lambda s: _html.escape(s, quote=False)
+
+    byline = (
+        f'<p class="byline"><a href="/u/{doc_id % 17}">staff writer</a>'
+        f" &mdash; 2026-01-{1 + doc_id % 28:02d}</p>"
+    )
+    article = _article_body(doc_id, text, e, byline=byline)
 
     sidebar_links = "\n".join(
         f'<li><a href="/r/{(doc_id + k) % 100}">{_junk_words(doc_id, k, 3)}</a></li>'

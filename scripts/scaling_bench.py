@@ -220,25 +220,44 @@ def orchestrate(
     web_replicate: int = 40,
 ) -> None:
     results = {}
-    for cpus in levels:
-        # Pin the whole child (JVM incl. GC/shuffle threads + Python
-        # workers) to exactly `cpus` cores: local[N] alone does not confine
-        # the process, so the small-N baseline silently borrows the other
-        # cores and deflates measured efficiency. Affinity pinning is the
-        # honest emulation of an N-core executor.
-        proc = subprocess.run(
-            [
-                "taskset", "-c", f"0-{cpus - 1}",
-                sys.executable, os.path.abspath(__file__), "--child",
-                "--cpus", str(cpus), "--sf-dir", sf_dir,
-                "--base-docs", str(base_docs), "--replicate", str(replicate),
-                "--web-replicate", str(web_replicate),
-            ],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {line}")
+    # Two alternating rounds (lo, hi, lo, hi), best per level: this VM's
+    # noise comes in multi-minute windows, so measuring each level once ~10
+    # minutes apart couples the efficiency ratio to WHICH window each level
+    # landed in; alternating rounds give every level a shot at the quiet
+    # window and best-of collapses the asymmetry.
+    for round_i in range(2):
+        for cpus in levels:
+            # Pin the whole child (JVM incl. GC/shuffle threads + Python
+            # workers) to exactly `cpus` cores: local[N] alone does not
+            # confine the process, so the small-N baseline silently borrows
+            # the other cores and deflates measured efficiency. Affinity
+            # pinning is the honest emulation of an N-core executor.
+            proc = subprocess.run(
+                [
+                    "taskset", "-c", f"0-{cpus - 1}",
+                    sys.executable, os.path.abspath(__file__), "--child",
+                    "--cpus", str(cpus), "--sf-dir", sf_dir,
+                    "--base-docs", str(base_docs),
+                    "--replicate", str(replicate),
+                    "--web-replicate", str(web_replicate),
+                ],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            cur = json.loads(line)
+            print(f"round {round_i} local[{cpus}]: {line}")
+            best = results.get(cpus)
+            if best is None:
+                results[cpus] = cur
+            else:
+                # keep each pipeline's best round independently
+                if cur["docs_per_sec"] > best["docs_per_sec"]:
+                    for k in ("docs", "media_chars", "glyphs", "wall_sec",
+                              "docs_per_sec", "chars_per_sec"):
+                        best[k] = cur[k]
+                if cur["web_docs_per_sec"] > best["web_docs_per_sec"]:
+                    for k in ("web_docs", "web_wall_sec", "web_docs_per_sec"):
+                        best[k] = cur[k]
 
     lo, hi = levels
     x_lo = results[lo]["docs_per_sec"]
@@ -302,6 +321,9 @@ Methodology (what makes the two levels a fair N vs 4N stand-in):
 - each child is `taskset`-pinned to exactly its core count — local[N]
   alone lets JVM GC/shuffle threads and Python workers borrow the idle
   cores and silently inflate the small-N baseline;
+- levels run in two ALTERNATING rounds (N, 4N, N, 4N), best per level:
+  the VM's noise arrives in multi-minute windows, and alternation stops
+  the efficiency ratio from coupling to which window a level landed in;
 - a bare CPU spin loop between the same pinned core counts measures
   {raw_eff:.2f} scaling efficiency (≈1.0 within noise) — the hardware
   itself does not cap these levels, so the number above is the pipeline's;

@@ -244,3 +244,30 @@ if _HAS_HYPOTHESIS:
         expect = [l for l in expect if l]
         _, text = extract_pdf_text(make_pdf(lines, two_col=two_col, compress=compress))
         assert text == "\n".join(expect)
+
+
+def test_adjacent_anchor_word_count():
+    """<a>x</a><a>y</a> is one text run ('xy') but two anchor words —
+    a link bar's density must not collapse because anchors touch."""
+    root = parse_html('<body><div><a href="/a">alpha</a><a href="/b">beta</a></div></body>')
+    (b,) = segment_blocks(root)
+    assert b.text == "alphabeta"  # correct HTML text semantics
+    assert b.n_anchor_words == 2
+    assert b.link_density > 0.4  # all-link block stays boiler-dense
+
+
+def test_table_layout_page():
+    """1998-style table layout, no semantic tags: menu cell and byline
+    stripped, content cell found by features alone."""
+    html = f"""
+    <body><table><tr>
+    <td class="menu-cell"><ul><li><a href="/1">alpha beta</a></li>
+    <li><a href="/2">gamma delta</a></li></ul></td>
+    <td><div class="post">
+      <div class="meta byline">Posted by <a href="/u/1">user1</a> yesterday</div>
+      <div class="post-body"><h1>Title Here</h1><p>{LONG_A}</p><p>{LONG_B}</p></div>
+    </div></td>
+    </tr></table></body>"""
+    out = extract_content(html)
+    assert out["title"] == "Title Here"
+    assert [t for k, t, _ in out["items"] if k == "text"] == [LONG_A, LONG_B]
