@@ -1,11 +1,12 @@
 """Multimodal column operators: opaque binary media + typed metadata.
 
-Images are first-class (the OCR pipeline's own pure-Python PNG codec gives
-real decode). Audio is REAL too: a stdlib-`wave` 16-bit PCM codec
-(codecs/wav.py) decodes actual bytes end-to-end. Video remains the one
-STUBBED decoder (no av library in this environment), clearly marked below
-— its Spark-side plumbing (schema, partitioning, Arrow UDF signature,
-batch shape) is real and tested.
+Every modality decodes REAL bytes through a pure-stdlib codec: images via
+the OCR pipeline's own PNG codec, audio via a stdlib-`wave` 16-bit PCM
+codec (codecs/wav.py), and video via a YUV4MPEG2 (.y4m) raw-video codec
+(codecs/y4m.py) — the uncompressed interchange container ffmpeg emits
+with `-f yuv4mpeg`. A *compressed* video decoder (H.264 etc.) is out of
+scope for this environment; a real deployment swaps the y4m decode for an
+ffmpeg-backed frame iterator with the same output schema.
 
 All operators are `mapInPandas` over binary columns: one Arrow batch in,
 vectorized numpy per item, one Arrow batch out.
@@ -178,32 +179,110 @@ def audio_metadata_sql(max_docs: int = 40) -> str:
     """
 
 
-def video_frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Frame sampling: one row per sampled frame index. Decode is STUBBED
-    (no video libs here): frame count derives deterministically from the
-    ref; a real deployment swaps in an ffmpeg-backed iterator with the
-    same output schema (media_ref, frame_idx, frame_png)."""
+def synth_y4m_bytes(ref: str) -> bytes:
+    """Deterministic fixture video for a media ref: 16x16 mono frames, one
+    diagonal-gradient frame per index, all parameters derived from the
+    ref's md5. REAL .y4m bytes — encode_y4m → decode_y4m roundtrips
+    through the actual codec. Frame ``fi`` is ``base + (y + x)`` with
+    ``base = (seed + 31*fi) % 200`` (max value 229, no uint8 wrap), so the
+    decoded per-frame mean luma is exactly ``base + 15`` — a pure SQL
+    function of the ref (see video_frame_sample_sql)."""
+    from ..codecs.y4m import encode_y4m
+
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+    n_frames = 30 + seed % 120
+    yy, xx = np.mgrid[0:16, 0:16]
+    grad = (yy + xx).astype(np.int64)  # mean 15.0 over the 16x16 grid
+    bases = (seed + 31 * np.arange(n_frames, dtype=np.int64)) % 200
+    frames = (bases[:, None, None] + grad[None]).astype(np.uint8)
+    return encode_y4m(frames, fps=25)
+
+
+def synth_video_table(media: DataFrame) -> DataFrame:
+    """media_ref → deterministic (media_ref, y4m) fixture table, rendered
+    DISTRIBUTED (mapInPandas, never a driver loop)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "y4m": [synth_y4m_bytes(r) for r in pdf["media_ref"]],
+                }
+            )
+
+    return media.select("media_ref").mapInPandas(fn, "media_ref string, y4m binary")
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, width int, height int, "
+    "mean_luma double, frame_png binary, error string"
+)
+
+
+def video_frame_sample(
+    media: DataFrame,
+    y4m_col: str = "y4m",
+    every_n: int = 10,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling over REAL decoded .y4m bytes (codecs/y4m.py): every
+    ``every_n``-th frame, at most ``max_frames`` per video, each emitted
+    with its decoded geometry + mean luma and re-encoded as a PNG still —
+    the shape a vision-training sampler (decode → subsample → thumbnail)
+    follows. Per-item fault isolation mirrors image_metadata."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs.png import encode_png
+        from ..codecs.y4m import decode_y4m
 
         for pdf in batches:
-            refs, idxs, frames = [], [], []
-            for ref in pdf["media_ref"]:
-                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
-                n_frames = 30 + seed % 120
-                for k, fi in enumerate(range(0, n_frames, every_n)):
-                    if k >= max_frames:
-                        break
-                    rng = np.random.RandomState((seed + fi) & 0x7FFFFFFF)
-                    frame = (rng.rand(8, 8) * 255).astype(np.uint8)  # STUB frame
-                    refs.append(ref)
-                    idxs.append(fi)
-                    frames.append(bytearray(encode_png(frame)))
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf[y4m_col]):
+                try:
+                    if data is None:
+                        raise ValueError("missing video bytes")
+                    frames, _fps = decode_y4m(bytes(data))
+                    n, h, w = frames.shape
+                    for fi in range(0, min(n, every_n * max_frames), every_n):
+                        frame = frames[fi]
+                        rows.append(
+                            (ref, fi, w, h, round(float(frame.mean()), 6),
+                             bytearray(encode_png(frame)), None)
+                        )
+                except Exception as exc:
+                    rows.append((ref, None, None, None, None, None, repr(exc)))
             yield pd.DataFrame(
-                {"media_ref": refs, "frame_idx": idxs, "frame_png": frames}
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "width", "height",
+                    "mean_luma", "frame_png", "error",
+                ],
             )
 
-    return media.select("media_ref").mapInPandas(
-        fn, "media_ref string, frame_idx int, frame_png binary"
+    return media.select("media_ref", y4m_col).mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_sample_sql(max_docs: int = 40, every_n: int = 10, max_frames: int = 4) -> str:
+    """DuckDB oracle for the video decode + frame-sample roundtrip on the
+    synth fixture: synth_y4m_bytes derives frame count and per-frame base
+    luma from the ref's md5, so every decoded property — which frame
+    indices get sampled, the 16x16 geometry, and the exact mean luma
+    (base + 15, gradient mean) — is pure SQL over documents.doc_id."""
+    ref = "printf('m-%06d', doc_id)"
+    seed = f"CAST('0x' || substr(md5({ref}), 1, 8) AS BIGINT)"
+    return f"""
+    WITH v AS (
+      SELECT {ref} AS media_ref, {seed} AS seed
+      FROM documents WHERE doc_id < {max_docs}
+    ), s AS (
+      SELECT media_ref, seed,
+             unnest(range(0, least(30 + seed % 120, {every_n * max_frames}),
+                          {every_n})) AS fi
+      FROM v
     )
+    SELECT media_ref, CAST(fi AS INT) AS frame_idx,
+           16 AS width, 16 AS height,
+           CAST((seed + 31 * fi) % 200 + 15 AS DOUBLE) AS mean_luma
+    FROM s
+    """

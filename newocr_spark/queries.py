@@ -419,10 +419,16 @@ def q_media_resize(spark, sf):  # multimodal: resize roundtrip, dims oracle-chec
     ).select("media_ref", "width", "height", "channels")
 
 
-def q_media_frame_sample(spark, sf):  # multimodal: frame sampling (rows-only)
-    from .analytics.multimodal import video_frame_sample
+def q_media_frame_sample(spark, sf):  # multimodal: REAL y4m decode + frame sample
+    # synth (mapInPandas) -> encode_y4m -> decode_y4m -> sample; the sampled
+    # frame indices, geometry, and mean luma are pure functions of the
+    # ref's md5 → SQL-expressible (multimodal.video_frame_sample_sql)
+    from .analytics.multimodal import synth_video_table, video_frame_sample
 
-    return video_frame_sample(_fixture_media(spark, sf))
+    vids = synth_video_table(_fixture_media(spark, sf))
+    return video_frame_sample(vids).select(
+        "media_ref", "frame_idx", "width", "height", "mean_luma"
+    )
 
 
 def q_audio_metadata(spark, sf):  # multimodal: REAL WAV decode roundtrip
@@ -521,12 +527,13 @@ ORACLES = {
 
 
 def _register_media_oracles() -> None:
-    from .analytics.multimodal import audio_metadata_sql
+    from .analytics.multimodal import audio_metadata_sql, video_frame_sample_sql
     from .fixtures import media_metadata_sql, media_resize_dims_sql
 
     ORACLES["media_metadata"] = media_metadata_sql(40)
     ORACLES["media_resize"] = media_resize_dims_sql(40, 16, 16)
     ORACLES["audio_metadata"] = audio_metadata_sql(40)
+    ORACLES["media_frame_sample"] = video_frame_sample_sql(40)
 
 
 _register_media_oracles()

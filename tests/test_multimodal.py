@@ -1,5 +1,6 @@
-"""Multimodal column plumbing: real image decode/resize, stubbed
-audio/video decode with real Arrow batch shapes."""
+"""Multimodal column plumbing: real image decode/resize, real WAV audio
+decode, real .y4m video decode — every modality through its own
+pure-stdlib codec over Arrow batches."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -93,12 +94,99 @@ def test_audio_features_fault_isolation(spark):
     assert rows["m-garbage"].error is not None
 
 
-def test_video_frame_sample_stub(spark, media_df):
-    from newocr_spark.analytics.multimodal import video_frame_sample
+def test_y4m_codec_roundtrip():
+    import numpy as np
 
-    frames = video_frame_sample(media_df, every_n=10, max_frames=3)
-    agg = frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()
-    assert all(1 <= r.n <= 3 for r in agg)
+    from newocr_spark.codecs.y4m import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(7)
+    frames = (rng.rand(5, 12, 18) * 255).astype(np.uint8)
+    data = encode_y4m(frames, fps=30)
+    assert data.startswith(b"YUV4MPEG2 W18 H12 F30:1")
+    out, fps = decode_y4m(data)
+    assert fps == 30 and out.shape == (5, 12, 18)
+    assert (out == frames).all()  # bit-exact: raw container, no loss
+
+
+def test_y4m_decode_420_chroma_skipped():
+    """ffmpeg's default C420 family parses too: chroma skipped, luma kept."""
+    import numpy as np
+
+    from newocr_spark.codecs.y4m import decode_y4m
+
+    w, h = 8, 4
+    luma = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    data = (
+        b"YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + luma.tobytes() + chroma
+        + b"FRAME\n" + luma.tobytes() + chroma
+    )
+    out, fps = decode_y4m(data)
+    assert out.shape == (2, 4, 8) and (out[1] == luma).all()
+
+
+def test_y4m_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from newocr_spark.codecs.y4m import decode_y4m
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"RIFF....not a video")
+    with _pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\n\x00\x00")
+
+
+def test_video_frame_sample_real_decode(spark, media_df):
+    """Sampled frame stats must equal the closed-form fixture law:
+    16x16 frames, indices 0,10,20[,30], mean luma == base + 15."""
+    import hashlib
+
+    from newocr_spark.analytics.multimodal import (
+        synth_video_table, video_frame_sample,
+    )
+
+    vids = synth_video_table(media_df)
+    frames = video_frame_sample(vids, every_n=10, max_frames=3)
+    rows = frames.collect()
+    assert rows and all(r.error is None for r in rows)
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for ref, rs in by_ref.items():
+        seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+        n_frames = 30 + seed % 120
+        expect_idx = list(range(0, min(n_frames, 30), 10))
+        assert sorted(r.frame_idx for r in rs) == expect_idx
+        for r in rs:
+            assert (r.width, r.height) == (16, 16)
+            assert r.mean_luma == (seed + 31 * r.frame_idx) % 200 + 15
+
+    # PNG stills decode back to the exact frame the codec produced
+    from newocr_spark.codecs.png import decode_png
+    from newocr_spark.codecs.y4m import decode_y4m
+    from newocr_spark.analytics.multimodal import synth_y4m_bytes
+
+    r0 = next(r for r in rows if r.frame_idx == 10)
+    still = decode_png(bytes(r0.frame_png))
+    src, _ = decode_y4m(synth_y4m_bytes(r0.media_ref))
+    assert (still == src[10]).all()
+
+
+def test_video_frame_sample_fault_isolation(spark):
+    from newocr_spark.analytics.multimodal import (
+        synth_y4m_bytes, video_frame_sample,
+    )
+
+    bad = spark.createDataFrame(
+        [("m-ok", bytearray(synth_y4m_bytes("m-ok"))),
+         ("m-garbage", bytearray(b"not a video")),
+         ("m-null", None)],
+        "media_ref string, y4m binary",
+    )
+    rows = {r.media_ref: r for r in video_frame_sample(bad).collect()
+            if r.error is not None}
+    assert set(rows) == {"m-garbage", "m-null"}
 
 
 # ---------------------------------------------------------------------------
