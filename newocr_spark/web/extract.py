@@ -164,6 +164,52 @@ FROM docs
 
 
 # ---------------------------------------------------------------------------
+# HTML: page metadata (clean title / author / published date)
+# ---------------------------------------------------------------------------
+
+
+def q_html_metadata(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+) -> DataFrame:
+    """Readability/trafilatura-style metadata: de-branded <title>, byline
+    author, ISO published date. Narrow map; generic heuristics
+    (web/metadata.py), verified here against the closed-form fixture
+    byline/title laws of BOTH page templates."""
+    from .metadata import page_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                md = page_metadata(page_html(int(did), text))
+                rows.append(
+                    (f"doc-{int(did):06d}", md["title"], md["author"], md["published"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "author", "published"]
+            )
+
+    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+        run, "doc_id string, title string, author string, published string"
+    )
+
+
+def html_metadata_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    """semantic (doc_id%2=0): byline '<a>staff writer</a> — 2026-01-DD',
+    branded title 'Report NNNNNN — Example Corpus'; tabular: byline
+    'Posted by userK on 2026-02-DD', bare title."""
+    return f"""
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       printf('Report %06d', doc_id) AS title,
+       CASE WHEN doc_id % 2 = 0 THEN 'staff writer'
+            ELSE 'user' || CAST(doc_id % 23 AS VARCHAR) END AS author,
+       CASE WHEN doc_id % 2 = 0 THEN printf('2026-01-%02d', 1 + doc_id % 28)
+            ELSE printf('2026-02-%02d', 1 + doc_id % 28) END AS published
+FROM documents WHERE doc_id < {max_docs}
+"""
+
+
+# ---------------------------------------------------------------------------
 # HTML: interleaved span extraction (input_hint shape)
 # ---------------------------------------------------------------------------
 

@@ -271,3 +271,81 @@ def test_table_layout_page():
     out = extract_content(html)
     assert out["title"] == "Title Here"
     assert [t for k, t, _ in out["items"] if k == "text"] == [LONG_A, LONG_B]
+
+
+# ---------------------------------------------------------------------------
+# page metadata: clean title / author / published date (web/metadata.py)
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_meta_tags_win():
+    from newocr_spark.web.metadata import page_metadata
+
+    html = f"""<html><head>
+    <title>Bridge Opens Early | Daily Planet</title>
+    <meta name="author" content="Lois Lane">
+    <meta property="article:published_time" content="2025-11-03T08:30:00Z">
+    </head><body>
+    <h1>Bridge Opens Early</h1>
+    <p class="byline">by Someone Else — 2024-01-01</p>
+    <p>{LONG_A}</p><p>{LONG_B}</p>
+    </body></html>"""
+    md = page_metadata(html)
+    assert md["title"] == "Bridge Opens Early"  # h1-matching segment wins
+    assert md["author"] == "Lois Lane"  # meta beats byline
+    assert md["published"] == "2025-11-03"  # ISO date extracted from stamp
+
+
+def test_metadata_time_tag_and_byline_author():
+    from newocr_spark.web.metadata import page_metadata
+
+    html = f"""<html><head><title>Weekly Notes</title></head><body>
+    <h1>Weekly Notes</h1>
+    <div class="byline">Written by J. Q. Public</div>
+    <time datetime="2026-03-14">March 14</time>
+    <p>{LONG_A}</p>
+    </body></html>"""
+    md = page_metadata(html)
+    assert md["author"] == "J. Q. Public"
+    assert md["published"] == "2026-03-14"
+
+
+def test_metadata_title_longest_segment_without_h1_match():
+    from newocr_spark.web.metadata import page_metadata
+
+    html = f"""<html><head>
+    <title>Short | A Considerably Longer Article Headline Here</title>
+    </head><body><p>{LONG_A}</p></body></html>"""
+    md = page_metadata(html)
+    assert md["title"] == "A Considerably Longer Article Headline Here"
+
+
+def test_metadata_absent_fields_are_none():
+    from newocr_spark.web.metadata import page_metadata
+
+    md = page_metadata(f"<html><body><p>{LONG_A}</p></body></html>")
+    assert md["title"] == "" and md["author"] is None and md["published"] is None
+
+
+def test_metadata_hyphenated_title_not_split():
+    from newocr_spark.web.metadata import page_metadata
+
+    html = "<html><head><title>State-of-the-art OCR</title></head><body></body></html>"
+    assert page_metadata(html)["title"] == "State-of-the-art OCR"
+
+
+def test_metadata_fixture_templates_both_ways():
+    """Both generator templates must satisfy the closed-form oracle law."""
+    from newocr_spark.web.htmlgen import page_html
+    from newocr_spark.web.metadata import page_metadata
+
+    text = " ".join([LONG_A, LONG_B, LONG_C])
+    for doc_id in (4, 7, 23, 46):  # both templates, both author moduli
+        md = page_metadata(page_html(doc_id, text))
+        assert md["title"] == f"Report {doc_id:06d}"
+        if doc_id % 2 == 0:
+            assert md["author"] == "staff writer"
+            assert md["published"] == f"2026-01-{1 + doc_id % 28:02d}"
+        else:
+            assert md["author"] == f"user{doc_id % 23}"
+            assert md["published"] == f"2026-02-{1 + doc_id % 28:02d}"
