@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     web_queries = {
         "html_main_text": lambda: W.q_html_main_text(spark, sf_dir, max_docs=no_cap),
         "html_spans": lambda: W.q_html_spans(spark, sf_dir, max_docs=no_cap),
+        "html_metadata": lambda: W.q_html_metadata(spark, sf_dir, max_docs=no_cap),
         "pdf_extract": lambda: W.q_pdf_extract(spark, sf_dir, max_docs=no_cap),
         "web_extract": lambda: W.q_web_extract(spark, sf_dir),
     }

@@ -38,6 +38,13 @@ DEFAULT_MERGE_RULES = (
 )
 
 
+class UntrainedModelError(RuntimeError):
+    """Raised when a scan is attempted against a model directory that was
+    never trained (missing or empty trained tables) — the analogue of the
+    reference's UntrainedDatabaseException (recognition/OCRScan.java:99,
+    utils/UntrainedDatabaseException.java)."""
+
+
 @dataclass
 class FontConfig:
     """Per-font options (configuration/HOCONFontConfiguration.java:95-170,
@@ -223,11 +230,24 @@ class FontModel:
     def load(cls, directory: str, config: FontConfig | None = None) -> "FontModel":
         import os
 
+        # explicit untrained guard, the analogue of the reference's
+        # UntrainedDatabaseException (recognition/OCRScan.java:99): scanning
+        # against a model that was never trained must fail with intent, not
+        # with a low-level file error deep in a Spark task
+        if not os.path.exists(f"{directory}/font_model.parquet"):
+            raise UntrainedModelError(
+                f"no trained font model at {directory!r}: expected "
+                "font_model.parquet (run the trainer / FontModel.save first)"
+            )
         if config is None:
             cfg_path = f"{directory}/font_config.json"
             if os.path.exists(cfg_path):
                 config = FontConfig.from_file(cfg_path)
         model = pq.read_table(f"{directory}/font_model.parquet").to_pydict()
+        if not model["letter"]:
+            raise UntrainedModelError(
+                f"font model at {directory!r} contains zero trained letters"
+            )
         meta = pq.read_table(f"{directory}/font_meta.parquet").to_pydict()
         spaces = pq.read_table(f"{directory}/font_custom_spaces.parquet").to_pydict()
         sizes = pq.read_table(f"{directory}/font_size_ratios.parquet").to_pydict()

@@ -70,3 +70,35 @@ def test_model_parquet_roundtrip(font_model, tmp_path):
     # the reloaded model recognizes identically
     got = scan_image_bytes(render_text_png(["Round Trip 42!"], 2), loaded)
     assert got == "Round Trip 42!"
+
+
+def test_untrained_model_guard(tmp_path):
+    """Loading a never-trained model dir fails with intent (the analogue of
+    the reference's UntrainedDatabaseException), not a low-level IO error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from newocr_spark.model import FontModel, UntrainedModelError
+
+    with pytest.raises(UntrainedModelError, match="no trained font model"):
+        FontModel.load(str(tmp_path / "nope"))
+
+    # present-but-empty trained table is equally untrained
+    d = tmp_path / "empty"
+    d.mkdir()
+    empty = pa.table(
+        {
+            "font": pa.array([], pa.string()),
+            "letter": pa.array([], pa.string()),
+            "modifier": pa.array([], pa.int32()),
+            "segments": pa.array([], pa.list_(pa.float64())),
+            "avg_width": pa.array([], pa.float64()),
+            "avg_height": pa.array([], pa.float64()),
+            "min_center": pa.array([], pa.float64()),
+            "max_center": pa.array([], pa.float64()),
+        }
+    )
+    pq.write_table(empty, str(d / "font_model.parquet"))
+    with pytest.raises(UntrainedModelError, match="zero trained letters"):
+        FontModel.load(str(d))
