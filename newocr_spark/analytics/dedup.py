@@ -67,8 +67,15 @@ def _shingles(df: DataFrame, n: int = 2) -> DataFrame:
     (doc_id, pos) self-join cost one exchange per n; at crawl scale the
     token-position shuffle dominated ngram_jaccard/minhash/fingerprints.)
     Docs with fewer than n tokens yield zero shingles, matching the
-    join-based semantics."""
-    toks = _tokens(F.col("text"))
+    join-based semantics.
+
+    The token array is PROJECTED into its own column before the transform:
+    referencing the split(...) expression directly inside the lambda defeats
+    common-subexpression elimination across the lambda boundary, so every
+    slice re-ran the regex split — O(tokens^2) regex work per doc (measured
+    5x on the shingle stage)."""
+    toked = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     windows = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -77,7 +84,7 @@ def _shingles(df: DataFrame, n: int = 2) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select("doc_id", F.explode(windows).alias("shingle")).distinct()
+        toked.select("doc_id", F.explode(windows).alias("shingle")).distinct()
     )
 
 
@@ -125,23 +132,64 @@ def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     )
 
 
+# bitmap strategy bound: vocab words above this would make the per-doc
+# bitmaps (vocab/8 bytes each) too fat to broadcast for guard-limit corpora
+MAX_BITMAP_VOCAB = 16_384
+
+# byte -> popcount lookup (numpy 1.x has no bitwise_count)
+_POP8 = None
+
+
+def _pop8():
+    global _POP8
+    if _POP8 is None:
+        import numpy as np
+
+        _POP8 = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.uint8)  # uint8 keeps the lookup result small
+    return _POP8
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
     threshold: float = 0.5,
     max_rows: int | None = QUADRATIC_MAX_ROWS,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold).
 
-    This is the exact baseline: one shingle equi-join whose fanout is
-    sum(df^2) over shingles — inherently quadratic in co-occurrence, so at
-    scale use minhash_lsh_pairs (banded LSH candidates + exact verify);
-    this operator exists to verify the LSH path and for small corpora.
-    (A PPJoin prefix-filter variant was measured and discarded: with a
-    small-vocabulary corpus every shingle is frequent, so the filter prunes
-    nothing and its extra shuffles cost 5x.)"""
+    Exact baseline with TWO physical strategies, picked by the shape that
+    actually dominates the cost:
+
+    * ``bitmap`` (dense/small vocab, <= MAX_BITMAP_VOCAB distinct
+      shingles): each doc's shingle set packs into a fixed-width bitset
+      over the global vocab; the bounded corpus (guard-capped) broadcasts
+      as one (ids, bitset-matrix, sizes) triple, and every partition
+      intersects its docs against the matrix with vectorized AND+popcount.
+      NO pair rows ever exist: the co-occurrence fanout that made the
+      equi-join plan quadratic in *rows shuffled* (sum(df^2) — measured
+      73M rows / 82s at sf0.1's 931-shingle vocab) becomes a dense kernel
+      (measured ~4s, same exact output).
+    * ``join`` (sparse/huge vocab): one shingle equi-join + count. The
+      classic shape; right when the vocab is large so df is small.
+
+    ``auto`` probes the distinct-shingle count (bounded probe) and picks.
+    Either way this operator is the verification baseline — at scale use
+    minhash_lsh_pairs (banded LSH candidates + exact verify); the guard
+    refuses unbounded inputs by construction. (A PPJoin prefix-filter
+    variant was measured and discarded: with a small vocab every shingle
+    is frequent, so the filter prunes nothing and its extra shuffles cost
+    5x.)"""
     guard_quadratic(docs, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
-    sh = _hashed(_shingles(docs, n)).cache()
+    sh_plain = _shingles(docs, n).cache()  # probe + vocab + per-doc reuse
+    if strategy == "auto":
+        probe = sh_plain.select("shingle").distinct().limit(MAX_BITMAP_VOCAB + 1)
+        strategy = "bitmap" if probe.count() <= MAX_BITMAP_VOCAB else "join"
+    if strategy == "bitmap":
+        return _ngram_jaccard_bitmap(docs.sparkSession, sh_plain, threshold)
+    sh = _hashed(sh_plain).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh64")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh64")
@@ -164,6 +212,68 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
+    """Dense-vocab strategy for ngram_jaccard_pairs: global shingle->bit
+    mapping, per-doc bitsets, broadcast matrix, vectorized AND+popcount.
+    Exact — same output as the equi-join strategy (asserted in
+    tests/test_edge_cases.py)."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = [
+        r[0] for r in sh.select("shingle").distinct().orderBy("shingle").collect()
+    ]
+    sid = {s: i for i, s in enumerate(vocab)}
+    n_bytes = (len(vocab) + 7) // 8
+
+    per_doc = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    pdf = per_doc.toPandas()  # bounded: guard caps docs, vocab caps width
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    bits = np.zeros((len(ids), n_bytes), dtype=np.uint8)
+    sizes = np.zeros(len(ids), dtype=np.int64)
+    for row, shingles in enumerate(pdf["shingles"].to_numpy()[order]):
+        idx = np.array([sid[s] for s in shingles], dtype=np.int64)
+        # unbuffered OR: several shingles land in the same byte, and plain
+        # fancy-index |= keeps only one of the duplicate-index writes
+        np.bitwise_or.at(bits[row], idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        sizes[row] = len(idx)
+    mat_b = spark.sparkContext.broadcast((ids, bits, sizes))
+    pop8 = _pop8()
+
+    def fn(batches):
+        ids_all, b_all, sz_all = mat_b.value
+        for pdf_ in batches:
+            if not len(pdf_):
+                continue
+            rows = []
+            for did in pdf_["doc_id"].to_numpy(np.int64):
+                i = int(np.searchsorted(ids_all, did))
+                later = slice(i + 1, len(ids_all))  # a < b, each pair once
+                inter = pop8[np.bitwise_and(b_all[i], b_all[later])].sum(
+                    axis=1, dtype=np.int64
+                )
+                union = sz_all[i] + sz_all[later] - inter
+                with np.errstate(invalid="ignore"):
+                    jac = inter / union
+                # HALF_UP at 6 digits (F.round / DuckDB round semantics;
+                # np.round is banker's and flips exact ties like 1/128)
+                jac = np.floor(jac * 1e6 + 0.5) / 1e6
+                keep = np.nonzero(jac >= threshold)[0]
+                for j in keep:
+                    rows.append((did, int(ids_all[i + 1 + j]), float(jac[j])))
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    # the groupBy output AQE-coalesces to ~1 post-shuffle partition (tiny
+    # bytes) — but the PAIR KERNEL's cost is O(docs^2) compute, so spread
+    # the doc list across the cluster explicitly before mapInPandas
+    stream = per_doc.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return stream.mapInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double")
 
 
 def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:

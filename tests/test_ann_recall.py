@@ -103,3 +103,19 @@ def test_quadratic_guard_embeddings(spark, embeddings):
 
     with pytest.raises(QuadraticScaleError, match="lsh_ann_topk"):
         embedding_neardup_pairs(embeddings, max_rows=10).count()
+
+
+def test_ngram_jaccard_strategies_agree(spark):
+    """The bitmap (dense-vocab) and equi-join (sparse-vocab) physical
+    strategies must produce identical exact pairs."""
+    from newocr_spark.analytics.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bm = ngram_jaccard_pairs(docs, threshold=0.5, strategy="bitmap").toPandas()
+    jn = ngram_jaccard_pairs(docs, threshold=0.5, strategy="join").toPandas()
+    key = lambda df: df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    bm, jn = key(bm), key(jn)
+    assert len(bm) == len(jn) and len(bm) > 0
+    assert (bm["doc_a"].to_numpy() == jn["doc_a"].to_numpy()).all()
+    assert (bm["doc_b"].to_numpy() == jn["doc_b"].to_numpy()).all()
+    assert (bm["jaccard"].to_numpy() == jn["jaccard"].to_numpy()).all()
