@@ -146,11 +146,22 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     n_web_docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     )
+    # partitions=cpus*2: the sf testdata is ONE parquet row group — without
+    # an explicit spread the narrow extraction maps run on a single task; a
+    # real crawl input arrives pre-split across thousands of files
     web_queries = {
-        "html_main_text": lambda: W.q_html_main_text(spark, sf_dir, max_docs=no_cap),
-        "html_spans": lambda: W.q_html_spans(spark, sf_dir, max_docs=no_cap),
-        "html_metadata": lambda: W.q_html_metadata(spark, sf_dir, max_docs=no_cap),
-        "pdf_extract": lambda: W.q_pdf_extract(spark, sf_dir, max_docs=no_cap),
+        "html_main_text": lambda: W.q_html_main_text(
+            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+        ),
+        "html_spans": lambda: W.q_html_spans(
+            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+        ),
+        "html_metadata": lambda: W.q_html_metadata(
+            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+        ),
+        "pdf_extract": lambda: W.q_pdf_extract(
+            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+        ),
         "web_extract": lambda: W.q_web_extract(spark, sf_dir),
     }
     for name, fn in web_queries.items():

@@ -276,9 +276,9 @@ def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
     return stream.mapInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double")
 
 
-def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
-    """doc_id → N_MINHASH minhash values (min over shingles of salted h60)."""
-    sh = _shingles(docs, n)
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → N_MINHASH minhash values (min over shingles of
+    salted h60)."""
     aggs = [
         F.min(_h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
         for i in range(N_MINHASH)
@@ -286,21 +286,45 @@ def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+    """doc_id → N_MINHASH minhash values (min over shingles of salted h60)."""
+    return _signatures_from(_shingles(docs, n))
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
 
     shingle → minhash → band → bucket equi-join → verify; the classic
-    scale path (banding keeps the join equi and bounded)."""
-    sigs = minhash_signatures(docs, n)
+    scale path (banding keeps the join equi and bounded).
+
+    Plan notes: ONE shingle frame is computed and shared by the signature
+    and verify stages (it previously evaluated twice), and the per-band
+    rows come from a single explode over one signature pass — the old
+    per-band self-union re-ran the whole shingle+minhash pipeline
+    N_BANDS times."""
     rows_per_band = N_MINHASH // N_BANDS
-    bands = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("sig"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    sh = _shingles(docs, n).cache()
+    sigs = _signatures_from(sh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cands = (
@@ -310,7 +334,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> Da
         .distinct()
     )
     # verify ONLY the candidates (never the O(n^2) exact-pairs table)
-    return _verify_pairs(cands, _shingles(docs, n).cache(), threshold)
+    return _verify_pairs(cands, sh, threshold)
 
 
 SIMHASH_BITS = 16

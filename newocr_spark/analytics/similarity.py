@@ -54,20 +54,40 @@ def _cosine_expr(a: str, b: str):
     return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file artifact guard: a compute-heavy narrow op over a source
+    with fewer splits than half the cluster runs on a handful of cores (a
+    single-row-group parquet file is ONE task, whatever the cluster size).
+    Spread it; a real crawl/embedding store arrives pre-split, making this
+    a no-op there."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Top-k cosine neighbours for the first n_queries vec_ids (exact)."""
     from pyspark.sql import Window
 
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        _norm_expr("embedding").alias("nq"),
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    c = _spread(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+        _norm_expr("embedding").alias("nc"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))  # broadcast the tiny query set
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_cosine_expr("qv", "cv"), 6))
+        # norms hoisted BELOW the join (once per vector, same float-op
+        # order as the inline formula → still bit-equal to the oracle);
+        # the O(q*n) pair loop evaluates only the dot
+        .withColumn(
+            "cosine",
+            F.round(_dot_expr("qv", "cv") / (F.col("nq") * F.col("nc")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -218,7 +238,7 @@ def lsh_ann_topk(
         powers = 1 << np.arange(planes.shape[1], dtype=np.int64)
         return pd.Series(list((signs @ powers).astype(np.int64)))  # (batch, tables)
 
-    bucketed = embeddings.select(
+    bucketed = _spread(embeddings).select(
         "vec_id",
         F.posexplode(buckets_of("embedding")).alias("table", "bucket"),
     )

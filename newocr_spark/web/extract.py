@@ -41,12 +41,20 @@ TEXT_ADV = 2
 MEDIA_ADV = 3
 
 
-def _corpus(spark: SparkSession, sf_dir: str, max_docs: int) -> DataFrame:
-    return (
+def _corpus(
+    spark: SparkSession, sf_dir: str, max_docs: int, partitions: int | None = None
+) -> DataFrame:
+    """(doc_id, text) slice. ``partitions`` spreads a single-row-group
+    parquet file (the small-sf testdata shape) across the cluster before
+    the narrow extraction maps — a real crawl input arrives as thousands
+    of splits and needs no such shuffle, so the default plan stays
+    shuffle-free."""
+    df = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < max_docs)
         .select("doc_id", "text")
     )
+    return df.repartition(partitions) if partitions else df
 
 
 # ---------------------------------------------------------------------------
@@ -83,9 +91,10 @@ def extract_main_text(corpus: DataFrame) -> DataFrame:
 
 
 def q_html_main_text(
-    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
-    return extract_main_text(_corpus(spark, sf_dir, max_docs))
+    return extract_main_text(_corpus(spark, sf_dir, max_docs, partitions))
 
 
 def html_main_text_sql(max_docs: int = HTML_MAX_DOCS) -> str:
@@ -112,7 +121,8 @@ FROM paras GROUP BY doc_id
 
 
 def q_html_block_stats(
-    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Classifier certification: TOTAL block and boilerplate-block counts
     per page. The fixture page structure is closed-form — chrome
@@ -135,7 +145,7 @@ def q_html_block_stats(
                 rows, columns=["doc_id", "n_paras", "n_blocks", "n_boiler"]
             )
 
-    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
         run, "doc_id string, n_paras int, n_blocks int, n_boiler int"
     )
 
@@ -169,7 +179,8 @@ FROM docs
 
 
 def q_html_metadata(
-    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Readability/trafilatura-style metadata: de-branded <title>, byline
     author, ISO published date. Narrow map; generic heuristics
@@ -189,7 +200,7 @@ def q_html_metadata(
                 rows, columns=["doc_id", "title", "author", "published"]
             )
 
-    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
         run, "doc_id string, title string, author string, published string"
     )
 
@@ -233,7 +244,8 @@ def _items_to_spans(items) -> list[dict]:
 
 
 def q_html_spans(
-    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -256,7 +268,7 @@ def q_html_spans(
                 columns=["doc_id", "seq", "kind", "text", "media_ref", "offset"],
             )
 
-    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
         run,
         "doc_id string, seq int, kind string, text string, media_ref string, "
         "offset int",
@@ -303,7 +315,8 @@ FROM items WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
 
 
 def q_pdf_extract(
-    spark: SparkSession, sf_dir: str, max_docs: int = PDF_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = PDF_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Synthesize a PDF per doc (1/2-column, Flate/raw per doc_id) and
     parse it back: object graph → content streams → text operators →
@@ -317,7 +330,7 @@ def q_pdf_extract(
                 rows.append((f"doc-{int(did):06d}", n_pages, body))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "text"])
 
-    return _corpus(spark, sf_dir, max_docs).mapInPandas(
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
         run, "doc_id string, n_pages int, text string"
     )
 
@@ -418,7 +431,7 @@ def q_web_extract(
 
     model = get_model()
     _docs, media = corpus_fixture_tables(spark, sf_dir, model, max_docs=max_docs)
-    corpus = _corpus(spark, sf_dir, max_docs)
+    corpus = _corpus(spark, sf_dir, max_docs, partitions)
     docs = html_to_documents(corpus)
     return extract_spans(spark, docs, media, model, ocr_partitions=16).select(
         "doc_id", "seq", "kind", "text", "media_ref", "offset"
