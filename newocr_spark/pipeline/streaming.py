@@ -138,3 +138,107 @@ def stream_metrics(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_assemble(
+    spark: SparkSession,
+    spans_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap_seconds: int = 300,
+    watermark_delay: str = "10 seconds",
+    schema=None,
+    trigger_once: bool = True,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    cross-micro-batch per-document span assembly.
+
+    Spans for one document can arrive across micro-batches (sharded
+    extraction, multi-part uploads). Per ``doc_id``, arriving spans are
+    buffered in group state; when the event-time watermark passes the
+    document's last span + ``gap_seconds`` (an event-time *session gap*),
+    the document is assembled in offset order, emitted once, and its state
+    evicted — so state is bounded on an unbounded stream and a document is
+    never emitted half-complete. This is the stateful pattern the built-in
+    windowed aggregates can't express: the emission condition is per-KEY
+    quiescence, not a fixed window boundary.
+
+    Expects span rows with a ``committed_at`` timestamp (the state-table
+    sink writes one). Output: one row per completed document with span
+    counts and the offset-ordered text body.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(spans_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
+        .parquet(spans_path)
+        .withWatermark("committed_at", watermark_delay)
+        .select("doc_id", "seq", "kind", "text", "offset", "committed_at")
+    )
+
+    out_schema = "doc_id string, n_spans int, n_media int, text string"
+    state_schema = "spans string, last_ms long"  # spans JSON-packed
+
+    def assemble(key, pdfs, state):
+        if state.hasTimedOut:
+            spans_json, _last = state.get
+            spans = json.loads(spans_json)
+            spans.sort(key=lambda s: (s["offset"], s["seq"]))
+            texts = [s["text"] for s in spans if s["kind"] == "text" and s["text"]]
+            n_media = sum(1 for s in spans if s["kind"] == "media")
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": key[0],
+                        "n_spans": len(spans),
+                        "n_media": n_media,
+                        "text": "\n\n".join(texts),
+                    }
+                ]
+            )
+            return
+        spans, last_ms = [], 0
+        if state.exists:
+            spans_json, last_ms = state.get
+            spans = json.loads(spans_json)
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                spans.append(
+                    {
+                        "seq": int(r.seq),
+                        "kind": str(r.kind),
+                        "text": None if pd.isna(r.text) else str(r.text),
+                        "offset": int(r.offset),
+                    }
+                )
+                last_ms = max(last_ms, int(r.committed_at.timestamp() * 1000))
+        state.update((json.dumps(spans), last_ms))
+        # quiesce deadline; a timeout at-or-before the watermark would be
+        # rejected, so clamp just past it (fires next micro-batch)
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    assembled = stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        assembled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

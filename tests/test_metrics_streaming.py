@@ -248,3 +248,77 @@ def test_stream_web_extract_incremental(spark, font_model, tmp_path):
     )
     assert key(result) == key(direct)
     assert result.groupBy("doc_id", "seq").count().filter("count > 1").count() == 0
+
+
+def test_stream_assemble_stateful_session_gap(spark, tmp_path):
+    """applyInPandasWithState session assembly: spans arriving across TWO
+    micro-batches assemble into one document each, emitted only after the
+    event-time watermark passes last-span + gap; a doc whose gap has not
+    yet elapsed stays in state and is NOT emitted."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from newocr_spark.pipeline.streaming import stream_assemble
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, seq int, kind string, text string, "
+            "offset int, committed_at timestamp"
+        )
+
+    spans_dir = str(tmp_path / "spans")
+    os.makedirs(spans_dir)
+
+    def drop(name, rows, mtime):
+        tmp = str(tmp_path / ("stage_" + name))
+        rows_df(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{spans_dir}/{name}.parquet"
+        import shutil
+
+        shutil.copy(f"{tmp}/{src}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda s: base + dt.timedelta(seconds=s)
+    # batch 1: first half of each doc's spans
+    drop(
+        "part-0",
+        [
+            ("d0", 0, "text", "alpha beta", 0, t(0)),
+            ("d0", 1, "media", None, 12, t(0)),
+            ("d1", 0, "text", "gamma", 0, t(1)),
+        ],
+        1_000_000,
+    )
+    # batch 2: the rest, slightly later, plus a far-future sentinel that
+    # will advance the watermark past both docs' (last + gap) deadlines
+    drop(
+        "part-1",
+        [
+            ("d0", 2, "text", "delta", 15, t(5)),
+            ("d1", 1, "text", "epsilon zeta", 7, t(6)),
+            ("zz-flush", 0, "text", "sentinel", 0, t(7200)),
+        ],
+        1_000_001,
+    )
+    # batch 3: a later sentinel so batch 3's processing sees the advanced
+    # watermark and fires the timed-out groups
+    drop("part-2", [("zz-flush", 1, "text", "sentinel2", 10, t(7201))], 1_000_002)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_assemble(
+        spark, spans_dir, out, ckpt, gap_seconds=30, watermark_delay="1 seconds"
+    )
+    q.awaitTermination(180)
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # both real docs emitted exactly once, assembled in offset order
+    assert set(got) == {"d0", "d1"}  # zz-flush's gap never elapsed -> held
+    assert got["d0"].n_spans == 3 and got["d0"].n_media == 1
+    assert got["d0"].text == "alpha beta\n\ndelta"
+    assert got["d1"].n_spans == 2 and got["d1"].n_media == 0
+    assert got["d1"].text == "gamma\n\nepsilon zeta"
