@@ -186,3 +186,68 @@ def fingerprints_sql() -> str:
            m.n_shingles
     FROM documents d JOIN mins m ON m.doc_id = d.doc_id
     """
+
+
+def corpus_curation(docs: DataFrame, quality_floor: float = 0.85) -> DataFrame:
+    """End-to-end training-data curation — the canonical pre-training
+    corpus pass, composed from the operators above:
+
+        exact dedup (keep canonical doc per content hash)
+          → language gate (identified language only)
+          → quality gate (rounded score >= quality_floor)
+          → per-language corpus stats (docs, tokens, mean quality)
+
+    Every stage is the declarative operator already registered in the
+    contract, so Catalyst fuses the gates into the scans; the stats roll
+    up map-side-partial on a low-cardinality key."""
+    canon = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(canon.select("doc_id"), "doc_id")
+    lang = lang_id(kept).select("doc_id", "lang_pred")
+    qual = doc_quality(kept).select("doc_id", "n_tokens", "quality_score")
+    cur = (
+        kept.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("quality_score") >= quality_floor)
+        )
+    )
+    return (
+        cur.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .select("lang_pred", "n_docs", "n_tokens", "avg_quality")
+    )
+
+
+def corpus_curation_sql(quality_floor: float = 0.85) -> str:
+    lang = lang_id_sql().replace("FROM documents", "FROM kept")
+    qual = doc_quality_sql().replace("FROM documents", "FROM kept")
+    return f"""
+    WITH canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1
+    ),
+    kept AS (
+      SELECT d.* FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    ),
+    l AS ({lang}),
+    q AS ({qual}),
+    cur AS (
+      SELECT k.doc_id, l.lang_pred, q.n_tokens, q.quality_score
+      FROM kept k
+      JOIN l ON l.doc_id = k.doc_id
+      JOIN q ON q.doc_id = k.doc_id
+      WHERE l.lang_pred != 'und' AND q.quality_score >= {quality_floor}
+    )
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(quality_score), 6) AS avg_quality
+    FROM cur GROUP BY lang_pred
+    """

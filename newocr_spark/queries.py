@@ -373,6 +373,10 @@ def q_token_counts(spark, sf):
     return T.token_counts(load(spark, sf, "documents"))
 
 
+def q_corpus_curation(spark, sf):  # composed pipeline: dedup -> lang -> quality -> stats
+    return T.corpus_curation(load(spark, sf, "documents"))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -468,6 +472,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "corpus_curation": q_corpus_curation,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -520,6 +525,7 @@ ORACLES = {
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),
     "token_counts": T.token_counts_sql(),
+    "corpus_curation": T.corpus_curation_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
     # "ann_lsh"/"ann_ivf": Spark-only (seeded hyperplanes / k-means cells)

@@ -418,7 +418,8 @@ def html_to_documents(corpus: DataFrame, html_col: str | None = None) -> DataFra
 
 
 def q_web_extract(
-    spark: SparkSession, sf_dir: str, max_docs: int = WEB_E2E_MAX_DOCS
+    spark: SparkSession, sf_dir: str, max_docs: int = WEB_E2E_MAX_DOCS,
+    partitions: int | None = None,
 ) -> DataFrame:
     """The round-2 flagship: synthesized web pages are boilerplate-
     stripped into interleaved text+media spans; embedded figures resolve

@@ -66,6 +66,23 @@ CHECKS = {
         "per-doc window",
         ["MapInPandas", "BroadcastHashJoin"],
     ),
+    "html_metadata": (
+        "page metadata is ONE narrow MapInPandas — zero exchanges",
+        ["MapInPandas"],
+        ["Exchange"],
+    ),
+    "ngram_jaccard": (
+        "dense-vocab bitmap strategy: the pair stage is a MapInPandas "
+        "against a broadcast bitset matrix — NO shingle-pair join exists "
+        "in the plan (the sum(df^2) fanout never materializes)",
+        ["MapInPandas"],
+        ["SortMergeJoin"],
+    ),
+    "corpus_curation": (
+        "composed dedup→lang→quality→stats pipeline: gates fuse into the "
+        "scans, final rollup partially aggregates map-side",
+        ["HashAggregate"],
+    ),
 }
 
 
