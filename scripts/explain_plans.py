@@ -41,7 +41,11 @@ CHECKS = {
         "three chained broadcast joins, no shuffle until the final groupBy",
         ["BroadcastHashJoin"],
     ),
-    "minhash_lsh": ("equi-joins only (band,sig) — no cross product", ["SortMergeJoin", "Exchange"]),
+    "minhash_lsh": (
+        "equi-joins only (band,sig) — no cross product; small sides "
+        "broadcast at this sf, SMJ at scale",
+        ["Join", "Exchange"],
+    ),
     "embed_neardup": (
         "guard-bounded broadcast (ids, matrix, norms) + one BLAS matmul "
         "per Arrow batch in MapInPandas — no pair rows exist anywhere in "
