@@ -20,6 +20,8 @@ import json
 import os
 import subprocess
 import sys
+
+APPENDIX_MARK = "<!-- appendix: preserved across scaling_bench.py regeneration -->"
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -281,8 +283,17 @@ def orchestrate(
     print(json.dumps(summary))
 
     bench_md = os.path.join(REPO, "BENCH.md")
+    # content below the appendix marker (per-round optimization evidence)
+    # survives regeneration — only the scaling section is rewritten
+    appendix = ""
+    if os.path.exists(bench_md):
+        old = open(bench_md).read()
+        i = old.find(APPENDIX_MARK)
+        if i != -1:
+            appendix = "\n" + old[i:]
     with open(bench_md, "w") as f:
         f.write(_render_md(results, lo, hi, eff, raw_eff, sf_dir, web_eff))
+        f.write(appendix)
     print(f"wrote {bench_md}")
 
 
