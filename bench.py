@@ -32,6 +32,7 @@ BENCH_QUERIES = (
     "grouped_agg", "broadcast_dim_join", "top1_per_group", "interval_join",
     "gaps_islands", "lag_arith", "ordered_stringagg", "anti_join",
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
+    "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
     "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
