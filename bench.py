@@ -33,7 +33,7 @@ BENCH_QUERIES = (
     "gaps_islands", "lag_arith", "ordered_stringagg", "anti_join",
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
     "rollup_agg", "corpus_curation",
-    "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
+    "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
     "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
 )

@@ -337,6 +337,74 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> Da
     return _verify_pairs(cands, sh, threshold)
 
 
+def _cc_labels(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) edge list:
+    iterative min-label propagation — label(v) ← min(label(v), min of
+    neighbors' labels) — repeated to fixpoint. Returns (doc_id, cluster_id)
+    where cluster_id is the component's minimum doc_id.
+
+    Scale shape (100 TB): each round is ONE equi-join + min-aggregate over
+    the sparse dup-edge list (O(E) shuffle — no all-pairs, no driver-side
+    graph, no GraphFrames dependency), the MapReduce-CC pattern of Kiveris
+    et al., "Connected Components in MapReduce and Beyond" (SoCC'14).
+    Round count is bounded by component diameter; near-dup clusters are
+    near-cliques (members are mutually similar), so propagation converges
+    in 2-3 rounds. `localCheckpoint` truncates lineage each round so the
+    plan stays constant-size across iterations, and the convergence probe
+    is a changed-label count (join on the previous round), never a
+    driver-side collect of the label table."""
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                labels.doc_id.alias("doc_id"),
+                F.least(
+                    labels.cluster_id, F.coalesce(nbr.nbr_min, labels.cluster_id)
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        n_, o_ = new.alias("n"), labels.alias("o")
+        changed = (
+            n_.join(o_, F.col("n.doc_id") == F.col("o.doc_id"))
+            .where(F.col("n.cluster_id") < F.col("o.cluster_id"))  # labels only decrease
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate cluster resolution: connected components over the
+    MinHash-LSH verified pair graph, labeling every involved doc with its
+    cluster's canonical id (the minimum doc_id) and the cluster size — the
+    step a curation pipeline needs after pair generation to actually DROP
+    duplicates (keep rows where doc_id == cluster_id).
+
+    Output: (doc_id, cluster_id, cluster_size) for docs in ≥1 dup pair."""
+    pairs = minhash_lsh_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    labels = _cc_labels(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 SIMHASH_BITS = 16
 
 
@@ -440,6 +508,32 @@ def minhash_lsh_sql(threshold: float = 0.5) -> str:
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+def dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Transitive closure over the same LSH pair graph via a recursive CTE
+    (exact reachability — feasible at oracle scale; the Spark side uses
+    bounded-round label propagation instead)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_lsh_sql(threshold)}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT l.doc_id, l.cluster_id, c.cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM labels GROUP BY 1) c USING (cluster_id)
     """
 
 

@@ -357,6 +357,10 @@ def q_simhash(spark, sf):
     return D.simhash_docs(load(spark, sf, "documents"))
 
 
+def q_dedup_clusters(spark, sf):
+    return D.dup_clusters(load(spark, sf, "documents"), threshold=0.5)
+
+
 def q_lang_id(spark, sf):
     return T.lang_id(load(spark, sf, "documents"))
 
@@ -468,6 +472,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "fingerprints": q_fingerprints,
@@ -521,6 +526,7 @@ ORACLES = {
     "ngram_jaccard": D.jaccard_pairs_sql(0.5),
     "minhash_lsh": D.minhash_lsh_sql(0.5),
     "simhash": D.simhash_sql(),
+    "dedup_clusters": D.dup_clusters_sql(0.5),
     "lang_id": T.lang_id_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),

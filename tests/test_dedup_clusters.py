@@ -1,0 +1,55 @@
+"""Near-dup cluster resolution: connected components over the LSH pair
+graph (`analytics/dedup.dup_clusters`). The chain cases exercise
+multi-round label propagation, which the near-clique LSH fixtures never
+force; the contract test (`test_driver_contract.py::dedup_clusters`)
+covers the end-to-end oracle parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from newocr_spark.analytics.dedup import _cc_labels, dup_clusters
+
+
+def _labels(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    rows = _cc_labels(pairs).collect()
+    return {r.doc_id: r.cluster_id for r in rows}
+
+
+def test_chain_converges_to_min_label(spark):
+    # 1-2-3-4-5 chain: label 1 must travel 4 hops (multiple rounds)
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_and_edge_direction(spark):
+    # two components; edges deliberately listed high-to-low to prove the
+    # undirected expansion works both ways
+    got = _labels(spark, [(9, 7), (7, 8), (3, 1), (20, 21)])
+    assert got == {7: 7, 8: 7, 9: 7, 1: 1, 3: 1, 20: 20, 21: 20}
+
+
+def test_empty_pair_graph_yields_empty_schema_stable_result(spark):
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = _cc_labels(pairs)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+
+
+def test_dup_clusters_sizes_and_canonicals(spark):
+    # docs engineered so MinHash-LSH links A~B~C (shared shingles) and
+    # leaves D alone; cluster_id must be the component min and sizes agree
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "alpha beta gamma delta epsilon zeta eta"),
+        (12, "alpha beta gamma delta epsilon zeta theta"),
+        (13, "completely different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dup_clusters(docs, threshold=0.5).orderBy("doc_id").collect()
+    got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in out}
+    assert {d for d, _, _ in got} <= {10, 11, 12}
+    assert len(got) >= 2  # at least two of the trio linked
+    cluster = {c for _, c, _ in got}
+    assert cluster == {10}  # canonical = min doc_id of the component
+    assert all(s == len(got) for _, _, s in got)
