@@ -397,7 +397,14 @@ def dup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFra
     duplicates (keep rows where doc_id == cluster_id).
 
     Output: (doc_id, cluster_id, cluster_size) for docs in ≥1 dup pair."""
-    pairs = minhash_lsh_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    # materialize the (small, sparse) pair list ONCE before _cc_labels
+    # fans out into fwd/rev branches — otherwise the whole LSH pipeline
+    # evaluates twice under the union
+    pairs = (
+        minhash_lsh_pairs(docs, n, threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     labels = _cc_labels(pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
