@@ -117,6 +117,16 @@ def _ocr_extract_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ocr_extract_face(spark, sf_dir, "SparkGridWide", OCR_WIDE_MAX_DOCS)
 
 
+def _ocr_extract_serif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third trained font (SparkGridSerif): different glyph topology —
+    thickness-3 serifed strokes, flat 2-row dots, re-proportioned piece
+    gaps — so every trained distance ratio differs from both other faces
+    and the mergence gates run at new operating points (the analogue of
+    the reference's six metrically distinct certified fonts,
+    test/fonts/Font*.java). Recognition must still be exact."""
+    return _ocr_extract_face(spark, sf_dir, "SparkGridSerif", OCR_WIDE_MAX_DOCS)
+
+
 def _ocr_sql(max_docs: int) -> str:
     return f"""
 WITH base AS (
@@ -141,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["ocr_extract"] = _ocr_extract
     out["ocr_extract_wide"] = _ocr_extract_wide
+    out["ocr_extract_serif"] = _ocr_extract_serif
     out["ocr_assembled"] = _ocr_assembled
     return out
 
@@ -151,5 +162,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["ocr_extract"] = OCR_EXTRACT_SQL
     out["ocr_extract_wide"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
+    out["ocr_extract_serif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_assembled"] = OCR_ASSEMBLED_SQL
     return out

@@ -20,6 +20,7 @@ DATA_DIR = os.path.join(_BASE, "font_model")  # default face (back-compat)
 _DIRS = {
     "SparkGrid": DATA_DIR,
     "SparkGridWide": os.path.join(_BASE, "font_model_wide"),
+    "SparkGridSerif": os.path.join(_BASE, "font_model_serif"),
 }
 
 

@@ -216,12 +216,12 @@ def _class_stats(canvas: np.ndarray):
     return vecs, vecs.mean(axis=0), ratio
 
 
-def _hand_pieces() -> list[tuple[np.ndarray, np.ndarray, float]]:
+def _hand_pieces(hand: dict[str, np.ndarray]) -> list[tuple[np.ndarray, np.ndarray, float]]:
     """Every connected piece of every hand glyph is its own trained class."""
     from ..kernel.ccl import connected_components
 
     stats = []
-    for g in _H.values():
+    for g in hand.values():
         for comp in connected_components(g):
             stats.append(_class_stats(comp.grid))
     return stats
@@ -242,9 +242,18 @@ def _admissible(cand, selected) -> bool:
     return True
 
 
-def _select_glyphs() -> dict[str, np.ndarray]:
-    selected = _hand_pieces()
-    glyphs = dict(_H)
+def _select_glyphs(
+    hand: dict[str, np.ndarray],
+    stroke_fn,
+    full_spec: tuple[int, int, int],
+    low_spec: tuple[int, int, int],
+) -> dict[str, np.ndarray]:
+    """Greedy admission of procedural stroke-combo glyphs around a fixed
+    hand-designed structural set. Face-parametric: `stroke_fn(h, w, combo)`
+    supplies the face's stroke geometry, `full_spec`/`low_spec` are
+    (box_h, box_w, row_offset) for the upper-/lower-case pools."""
+    selected = _hand_pieces(hand)
+    glyphs = dict(hand)
 
     def fill(chars: str, h: int, w: int, offset: int) -> None:
         idx = 0
@@ -256,7 +265,7 @@ def _select_glyphs() -> dict[str, np.ndarray]:
                     )
                 combo = _QUALIFYING[(idx * 53) % len(_QUALIFYING)]
                 idx += 1
-                box = _stroke_glyph(h, w, combo)
+                box = stroke_fn(h, w, combo)
                 canvas = _embed(box, offset)
                 cand = _class_stats(canvas)
                 if _admissible(cand, selected):
@@ -264,14 +273,13 @@ def _select_glyphs() -> dict[str, np.ndarray]:
                     glyphs[ch] = canvas
                     break
 
-    fill(_FULL, 16, 8, 0)
-    fill(_LOW, 11, 7, 5)
+    fill(_FULL, *full_spec)
+    fill(_LOW, *low_spec)
+    assert len(glyphs) == 95 - 1, f"expected 94 printable glyphs, got {len(glyphs)}"
     return glyphs
 
 
-GLYPHS: dict[str, np.ndarray] = _select_glyphs()
-
-assert len(GLYPHS) == 95 - 1, f"expected 94 printable glyphs, got {len(GLYPHS)}"
+GLYPHS: dict[str, np.ndarray] = _select_glyphs(_H, _stroke_glyph, (16, 8, 0), (11, 7, 5))
 
 
 # ---------------------------------------------------------------------------
@@ -322,4 +330,182 @@ def wide_face() -> FontFace:
     return _WIDE
 
 
-FACES = {"SparkGrid": lambda: DEFAULT_FACE, "SparkGridWide": wide_face}
+# ---------------------------------------------------------------------------
+# SparkGridSerif — a third face with genuinely different glyph topology
+# (not a stretch of SparkGrid): thickness-3 serifed strokes, 2-row flat
+# dots, and re-proportioned multi-part piece gaps, so EVERY trained
+# distance ratio shifts vs both other faces and the mergence gates
+# (kernel/mergence.py) are exercised at new operating points — the
+# engine's analogue of the reference certifying six metrically distinct
+# fonts (test/fonts/Font*.java via fonts/Accuracy.java:34-77).
+#
+# Trained-metadata targets (vs SparkGrid):
+#   distancei/j        2/10 = 0.2      (was 2/9  ≈ 0.222)
+#   colonDistance      4/2  = 2.0      (was 1.0)
+#   semicolonDistance  4/6  ≈ 0.667    (was 0.6)
+#   equalsDistance     4/3  ≈ 1.333    (was 1.0)
+#   distanceQuestion/Exclamation 3/11 ≈ 0.273 (was 2/11 ≈ 0.182)
+#   apostropheRatio    6/3  = 2.0      (was 2.5 narrow / 1.667 wide)
+#   space w/h ratio   10/16 = 0.625    (was 7/16 ≈ 0.437)
+#
+# Gate-safety invariants (all scale-invariant because rendering is exact
+# integer kron upscaling):
+#   * UnderDot cross-line window: 1.75 · (3/11) · 16 ≈ 7.64 < 8 = LINE_GAP
+#     + i-dot top row (the closest cross-line dot);
+#   * OverDot vline window: 1.5 · 0.2 · 16 = 4.8 < 6 = LINE_GAP;
+#   * EqualVertical colon window: 1.5 · 2.0 · 2 = 6 < 8 (nearest unmerged
+#     cross-line dot pair at EqualVertical time);
+#   * Apostrophe compare: every piece that can appear unmerged and
+#     non-excluded when ApostropheMergeRule runs is > 2× the 6-row quote
+#     piece height (lowercase 13, merged i/j 14, merged !/? 16, stems ≥ 10
+#     only via merged forms — rule order UnderDot/EqualVertical/OverDot
+#     first guarantees the merges happened).
+# ---------------------------------------------------------------------------
+
+
+def _h_serif() -> dict[str, np.ndarray]:
+    H: dict[str, np.ndarray] = {}
+
+    H["."] = _rect(14, 15, 3)                    # flat 3x2 serif dot
+    H["'"] = _rect(0, 5, 3)                      # 3x6 bar, top
+    H["|"] = _rect(0, 15, 3)                     # 3x16 bar
+
+    def _band(y0: int, y1: int, w: int) -> np.ndarray:
+        g = np.zeros((CELL_HEIGHT, w), dtype=bool)
+        g[y0 : y1 + 1, :] = True
+        return g
+
+    H["-"] = _band(7, 9, 6)                      # 6x3 bar, middle
+    H["_"] = _band(13, 15, 10)                   # 10x3 bar, bottom
+
+    _comma = [""] * 10 + ["####", "####", ".###", ".##", "##", "#"]
+    H[","] = _from_rows(_comma)                  # 4x6 comma, rows 10-15
+    # serifed 'l': top serif + stem + foot (double serif, unlike i's stem)
+    H["l"] = _from_rows(
+        ["#####", "#####"] + [".###."] * 12 + ["#####", "#####"]
+    )
+    # '"': two 3x6 bars, gap 3 → apostropheRatio = 6/3 = 2.0 (vs 2.5
+    # narrow / 1.667 wide). The scan gate's unit quirk (trained on the
+    # inter-piece gap, gated on x-to-x distance — OCRTrain.java:163-165 vs
+    # ApostropheMergeRule.java:88-89) holds: 6·2.0 = 12 ≥ 3+3; and every
+    # possibly-unmerged non-excluded piece is > 2·6 = 12 tall (lowercase
+    # boxes are 13 for exactly this reason).
+    H['"'] = _from_rows(["###...###"] * 6)
+    # '!': 3x11 bar + flat dot, gap 3 → distanceExclamation = 3/11
+    H["!"] = _from_rows(["###"] * 11 + ["", "", ""] + ["###"] * 2)
+    # '?': serif curve (h11) + flat dot, gap 3 → distanceQuestion = 3/11
+    H["?"] = _from_rows(
+        ["######", "##..##", "....##", "....##", "...###", "..###.",
+         "..##..", "..##..", "..##..", "..##..", "..##.."]
+        + ["", "", ""] + ["..###", "..###"]
+    )
+    # 'i': flat dot rows 2-3 + serif-footed stem rows 6-15 (h10), gap 2
+    # → distancei = 2/10 = 0.2
+    H["i"] = _from_rows(
+        ["", "", ".###.", ".###.", "", ""] + [".###."] * 8 + ["#####"] * 2
+    )
+    # 'j': flat dot + hook (h10), gap 2 → distancej = 0.2
+    H["j"] = _from_rows(
+        ["", "", "...###", "...###", "", ""]
+        + ["...###"] * 8 + [".####.", "####.."]
+    )
+    # ':': two flat dots rows 4-5 / 10-11, gap 4 → colonDistance = 4/2 = 2.0
+    H[":"] = _from_rows([""] * 4 + ["###"] * 2 + [""] * 4 + ["###"] * 2)
+    # ';': flat dot rows 4-5 + comma rows 10-15 (h6), gap 4 → 4/6
+    H[";"] = _from_rows(
+        [""] * 4 + [".###", ".###"] + [""] * 4
+        + ["####", "####", ".###", ".##", "##", "#"]
+    )
+    # '=': two 8x3 bars rows 4-6 / 11-13, gap 4 → equalsDistance = 4/3
+    H["="] = _from_rows([""] * 4 + ["########"] * 3 + [""] * 4 + ["########"] * 3)
+    # h5 thick diagonal tick; trailing custom-space ratio = tracking/5 = 0.6
+    H["`"] = _from_rows(["##", "###", ".###", "..###", "...##"])
+
+    def _slash3(w: int = 8) -> np.ndarray:
+        g = np.zeros((CELL_HEIGHT, w), dtype=bool)
+        for y in range(CELL_HEIGHT):
+            x = round((CELL_HEIGHT - 1 - y) * (w - 3) / (CELL_HEIGHT - 1))
+            g[y, x : x + 3] = True
+        return g
+
+    H["/"] = _slash3()
+    H["\\"] = H["/"][:, ::-1].copy()
+
+    # '%': 6x6 hollow rings + 2px piecewise slash, ≥2-col moats; rings
+    # x-overlap each other (col 5) and the slash so training's anchored
+    # grouping collects all three (OCRActions.java:143-146)
+    ring = np.zeros((6, 6), dtype=bool)
+    ring[0, :] = ring[5, :] = ring[:, 0] = ring[:, 5] = True
+    pc = np.zeros((CELL_HEIGHT, 11), dtype=bool)
+    pc[0:6, 0:6] |= ring
+    pc[10:16, 5:11] |= ring
+    slash_cols = (8, 8, 8, 8, 8, 8, 7, 5, 3, 1, 1, 1, 1, 1, 1, 1)
+    for y, x in enumerate(slash_cols):
+        pc[y, x : x + 2] = True
+    H["%"] = pc
+    return H
+
+
+def _stroke_glyph_serif(h: int, w: int, combo: int) -> np.ndarray:
+    """Serif stroke geometry: thickness-3 verticals, 3-row middle band,
+    2-row top/bottom bands, and 1px serif caps at free stroke ends."""
+    g = np.zeros((h, w), dtype=bool)
+    mid0 = (h - 3) // 2
+    g[mid0 : mid0 + 3, :] = True
+    t = 3
+    cx = (w - t) // 2
+
+    def serif(row: int, x0: int) -> None:
+        g[row, max(0, x0 - 1) : min(w, x0 + t + 1)] = True
+
+    if combo & 1:
+        g[0:2, :] = True
+    if combo & 2:
+        g[h - 2 :, :] = True
+    if combo & 4:
+        g[0 : mid0 + 3, 0:t] = True
+        if not combo & 1:
+            serif(0, 0)
+    if combo & 8:
+        g[mid0:, 0:t] = True
+        if not combo & 2:
+            serif(h - 1, 0)
+    if combo & 16:
+        g[0 : mid0 + 3, w - t :] = True
+        if not combo & 1:
+            serif(0, w - t)
+    if combo & 32:
+        g[mid0:, w - t :] = True
+        if not combo & 2:
+            serif(h - 1, w - t)
+    if combo & 64:
+        g[0 : mid0 + 3, cx : cx + t] = True
+        if not combo & 1:
+            serif(0, cx)
+    if combo & 128:
+        g[mid0:, cx : cx + t] = True
+        if not combo & 2:
+            serif(h - 1, cx)
+    return g
+
+
+_SERIF: FontFace | None = None
+
+
+def serif_face() -> FontFace:
+    """SparkGridSerif: built lazily (the greedy admission re-runs for the
+    serif stroke pool). Wider space (7) and tracking (3) than SparkGrid."""
+    global _SERIF
+    if _SERIF is None:
+        glyphs = _select_glyphs(
+            _h_serif(), _stroke_glyph_serif, (16, 9, 0), (13, 8, 3)
+        )
+        _SERIF = FontFace("SparkGridSerif", glyphs, 7, 3)
+    return _SERIF
+
+
+FACES = {
+    "SparkGrid": lambda: DEFAULT_FACE,
+    "SparkGridWide": wide_face,
+    "SparkGridSerif": serif_face,
+}

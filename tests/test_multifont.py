@@ -78,6 +78,104 @@ def test_wide_training_deterministic():
     assert a.meta == b.meta
 
 
+@pytest.fixture(scope="module")
+def serif_model():
+    return get_model("SparkGridSerif")
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 5])
+def test_serif_self_scan_exact(serif_model, scale):
+    from newocr_spark.font.glyphs import serif_face
+
+    for text in (RAW_STRING, MERGE_HEAVY, "Hello, World! 42"):
+        png = render_text_png([text], scale, face=serif_face())
+        got = scan_image_bytes(png, serif_model)
+        assert got == text.rstrip(), f"scale {scale}: {got!r}"
+
+
+def test_serif_every_distance_ratio_shifts(serif_model, narrow_model, wide_model):
+    """The serif face has different glyph TOPOLOGY (stroke widths, dot
+    sizes, piece gaps) — every trained mergence distance and spacing ratio
+    must differ from BOTH other faces, so each merge gate runs at a new
+    operating point (VERDICT r2 #1: two faces sharing topology under-stress
+    the gates)."""
+    names = (
+        "distancei", "distancej", "colonDistance", "semicolonDistance",
+        "equalsDistance", "distanceQuestion", "distanceExclamation",
+        "apostropheRatio",
+    )
+    for name in names:
+        for other in (narrow_model, wide_model):
+            assert abs(serif_model.meta[name] - other.meta[name]) > 0.02, (
+                name, serif_model.meta[name], other.meta[name]
+            )
+    # exact designed values (scale-invariant by integer-kron rendering)
+    assert serif_model.meta["distancei"] == pytest.approx(0.2)
+    assert serif_model.meta["colonDistance"] == pytest.approx(2.0)
+    assert serif_model.meta["equalsDistance"] == pytest.approx(4 / 3)
+    assert serif_model.meta["semicolonDistance"] == pytest.approx(4 / 6)
+    assert serif_model.meta["distanceExclamation"] == pytest.approx(3 / 11)
+    assert serif_model.meta["apostropheRatio"] == pytest.approx(2.0)
+    # space geometry: 10/16 vs 7/16 (narrow) vs 10.5/16-ish (wide)
+    s = serif_model.row(" ", 0)
+    ratio = serif_model.avg_width[s] / serif_model.avg_height[s]
+    assert ratio == pytest.approx(0.625)
+    # custom trailing-space ratio for the backtick
+    assert serif_model.custom_spaces["`"] == pytest.approx(0.6)
+
+
+def test_serif_dot_topology_differs(serif_model, narrow_model):
+    """Serif dots are flat 3x2 (ratio 1.5) vs SparkGrid's square 3x3."""
+    for dot in ((".", 0), ("i", 0), (":", 0)):
+        srow, nrow = serif_model.row(*dot), narrow_model.row(*dot)
+        assert serif_model.avg_height[srow] * 1.4 < narrow_model.avg_height[nrow] * 1.0 or (
+            serif_model.avg_width[srow] / serif_model.avg_height[srow]
+            != pytest.approx(
+                narrow_model.avg_width[nrow] / narrow_model.avg_height[nrow]
+            )
+        )
+    # stroke thickness: serif pipe is 3 wide, SparkGrid pipe is 2 wide
+    sp, np_ = serif_model.row("|", 0), narrow_model.row("|", 0)
+    assert serif_model.avg_width[sp] / serif_model.avg_height[sp] == pytest.approx(
+        1.5 * narrow_model.avg_width[np_] / narrow_model.avg_height[np_]
+    )
+
+
+def test_serif_wrong_model_misreads(serif_model, narrow_model):
+    """Scanning serif-rendered text with the SparkGrid model must NOT
+    reproduce it — output depends on the per-font trained tables."""
+    from newocr_spark.font.glyphs import serif_face
+
+    text = "i j : = W  W"
+    png = render_text_png([text], 2, face=serif_face())
+    assert scan_image_bytes(png, serif_model) == text
+    assert scan_image_bytes(png, narrow_model) != text
+
+
+def test_serif_training_deterministic():
+    from newocr_spark.font.glyphs import serif_face
+    from newocr_spark.font.train import train_font
+
+    a = train_font(face=serif_face())
+    b = train_font(face=serif_face())
+    assert a.letters == b.letters
+    assert np.array_equal(a.segments, b.segments)
+    assert a.meta == b.meta
+
+
+def test_serif_committed_model_matches_trainer(serif_model):
+    """The committed parquet artifact must be bit-identical to a fresh
+    training run (artifacts.py contract)."""
+    from newocr_spark.font.glyphs import serif_face
+    from newocr_spark.font.train import train_font
+
+    fresh = train_font(face=serif_face())
+    assert fresh.letters == serif_model.letters
+    assert np.array_equal(fresh.segments, serif_model.segments)
+    assert fresh.meta == serif_model.meta
+    assert fresh.custom_spaces == serif_model.custom_spaces
+
+
 def test_default_face_unchanged(narrow_model):
     """Adding faces must not disturb the default font's goldens."""
     png = render_text_png(["Hello, World! 42"], 2)
