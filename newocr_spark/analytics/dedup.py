@@ -337,7 +337,36 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> Da
     return _verify_pairs(cands, sh, threshold)
 
 
-def _cc_labels(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+class NonConvergenceError(RuntimeError):
+    """Raised when iterative min-label propagation has not reached a
+    fixpoint within its round budget. Stale labels would be silently
+    WRONG cluster ids (the DuckDB oracle computes exact transitive
+    closure), so the failure must be loud, not a warning in a log."""
+
+
+def _iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms.
+
+    reliable=True uses `checkpoint()` (writes to the SparkContext
+    checkpoint dir, typically HDFS/object storage on a cluster): an
+    executor loss mid-iteration recovers from the checkpoint files.
+    reliable=False uses `localCheckpoint()` (blocks on executors): faster,
+    but an executor loss kills the job — acceptable only where the
+    upstream is cheap to re-run. At 100 TB always set a checkpoint dir."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
+def _reliable_default(df: DataFrame) -> bool:
+    """Reliable checkpointing by default whenever a checkpoint dir is
+    configured on the context (the cluster deployment case); fall back to
+    localCheckpoint when none is set (local/test sessions)."""
+    sc = df.sparkSession.sparkContext
+    return sc.getCheckpointDir() is not None
+
+
+def _cc_labels(
+    pairs: DataFrame, max_rounds: int = 25, reliable: bool | None = None
+) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) edge list:
     iterative min-label propagation — label(v) ← min(label(v), min of
     neighbors' labels) — repeated to fixpoint. Returns (doc_id, cluster_id)
@@ -349,33 +378,42 @@ def _cc_labels(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
     et al., "Connected Components in MapReduce and Beyond" (SoCC'14).
     Round count is bounded by component diameter; near-dup clusters are
     near-cliques (members are mutually similar), so propagation converges
-    in 2-3 rounds. `localCheckpoint` truncates lineage each round so the
-    plan stays constant-size across iterations, and the convergence probe
-    is a changed-label count (join on the previous round), never a
-    driver-side collect of the label table."""
+    in 2-3 rounds. Per-round checkpointing truncates lineage so the plan
+    stays constant-size across iterations — RELIABLE `checkpoint()` when a
+    checkpoint dir is set (or reliable=True), executor-local otherwise
+    (see `_iter_checkpoint`) — and the convergence probe is a
+    changed-label count (join on the previous round), never a driver-side
+    collect of the label table.
+
+    Raises NonConvergenceError if the fixpoint is not reached within
+    max_rounds: a component with diameter > max_rounds would otherwise
+    return silently wrong cluster ids."""
+    if reliable is None:
+        reliable = _reliable_default(pairs)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
-        .distinct()
-        .localCheckpoint()
+    edges = _iter_checkpoint(fwd.union(rev).distinct(), reliable)
+    labels = _iter_checkpoint(
+        edges.select(
+            F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+        ).distinct(),
+        reliable,
     )
+    changed = 0
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
+        new = _iter_checkpoint(
+            labels.join(nbr, labels.doc_id == nbr.src, "left").select(
                 labels.doc_id.alias("doc_id"),
                 F.least(
                     labels.cluster_id, F.coalesce(nbr.nbr_min, labels.cluster_id)
                 ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         n_, o_ = new.alias("n"), labels.alias("o")
         changed = (
@@ -386,6 +424,13 @@ def _cc_labels(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise NonConvergenceError(
+            f"min-label propagation still changing {changed} labels after "
+            f"{max_rounds} rounds — component diameter exceeds the budget; "
+            "raise max_rounds (or switch to large-star/small-star, which "
+            "converges in O(log n) rounds)"
+        )
     return labels
 
 
@@ -399,12 +444,10 @@ def dup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFra
     Output: (doc_id, cluster_id, cluster_size) for docs in ≥1 dup pair."""
     # materialize the (small, sparse) pair list ONCE before _cc_labels
     # fans out into fwd/rev branches — otherwise the whole LSH pipeline
-    # evaluates twice under the union
-    pairs = (
-        minhash_lsh_pairs(docs, n, threshold)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    # evaluates twice under the union (reliable checkpoint when a
+    # checkpoint dir is configured, same seam as _cc_labels)
+    raw = minhash_lsh_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    pairs = _iter_checkpoint(raw, _reliable_default(raw))
     labels = _cc_labels(pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
