@@ -103,10 +103,11 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             F.count("*").alias("spans"),
         ).collect()[0]
 
-    # best-of-2 everywhere: single-shot timings on this shared VM carry
-    # multi-x GC/JIT session noise; min-of-2 reports the plan's cost.
     # The OCR pass first warms to steady state (JVM C2 + worker glyph
-    # caches converge over several passes, like any long-running job).
+    # caches converge over several passes, like any long-running job),
+    # then reports best-of-2 — its multi-pass protocol is noise-robust by
+    # construction; the other queries use the alternating-cycle protocol
+    # below.
     prev = None
     for _ in range(4):
         t0 = time.time()
@@ -124,55 +125,70 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     docs.unpersist()
     media.unpersist()  # keep heap pressure away from the analytic queries
 
-    # ---- relational + training-data queries ----
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(QUERIES[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-            # clear BETWEEN passes too: self-caching queries (e.g. the
-            # shingle cache in ngram_jaccard) must pay their plan's cost on
-            # every timed pass, not reuse pass 1's cache
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-
-    # ---- web extraction (north_rule): full-corpus HTML/PDF parse ----
-    # html/pdf run UNCAPPED over the sf's whole documents table (narrow
-    # maps — the numbers scale with corpus size); web_extract keeps its
-    # contract cap (OCR-bound end-to-end path, already measured above).
+    # ---- relational + analytics + web queries: alternating-cycle protocol ----
+    # This VM has documented multi-minute noise windows that inflate a
+    # single capture up to ~8-10x (BENCH.md appendix, round-2 evidence).
+    # Instead of best-of-2 ADJACENT passes (both can land inside one
+    # window), run the FULL query list twice — the second cycle starts
+    # minutes after the first touched any given query, so a window that
+    # polluted a query in cycle 1 has usually passed by cycle 2 (same
+    # alternating idea as scripts/scaling_bench.py). Report min across
+    # cycles; where the cycles disagree >3x, re-measure once more and
+    # flag the query in the output so the artifact is self-describing.
     from newocr_spark.web import extract as W
 
     no_cap = 1 << 40
-    n_web_docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    )
+    n_web_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # partitions=cpus*2: the sf testdata is ONE parquet row group — without
     # an explicit spread the narrow extraction maps run on a single task; a
     # real crawl input arrives pre-split across thousands of files
-    web_queries = {
-        "html_main_text": lambda: W.q_html_main_text(
-            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
-        ),
-        "html_spans": lambda: W.q_html_spans(
-            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
-        ),
-        "html_metadata": lambda: W.q_html_metadata(
-            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
-        ),
-        "pdf_extract": lambda: W.q_pdf_extract(
-            spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
-        ),
-        "web_extract": lambda: W.q_web_extract(spark, sf_dir),
-    }
-    for name, fn in web_queries.items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(fn())
-            best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    runnables = {name: (lambda n=name: QUERIES[n](spark, sf_dir)) for name in BENCH_QUERIES}
+    # web extraction (north_rule): html/pdf run UNCAPPED over the sf's
+    # whole documents table (narrow maps — the numbers scale with corpus
+    # size); web_extract keeps its contract cap (OCR-bound end-to-end
+    # path, already measured above).
+    runnables.update(
+        {
+            "html_main_text": lambda: W.q_html_main_text(
+                spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+            ),
+            "html_spans": lambda: W.q_html_spans(
+                spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+            ),
+            "html_metadata": lambda: W.q_html_metadata(
+                spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+            ),
+            "pdf_extract": lambda: W.q_pdf_extract(
+                spark, sf_dir, max_docs=no_cap, partitions=cpus * 2
+            ),
+            "web_extract": lambda: W.q_web_extract(spark, sf_dir),
+        }
+    )
+
+    def timed_pass(fn) -> float:
+        t0 = time.time()
+        _force(fn())
+        sec = time.time() - t0
+        # clear AFTER every pass: self-caching queries (e.g. the shingle
+        # cache in ngram_lsh paths) must pay their plan's cost on every
+        # timed pass, not reuse a previous pass's cache
+        spark.catalog.clearCache()
+        return sec
+
+    cycles: dict[str, list[float]] = {name: [] for name in runnables}
+    for _cycle in range(2):
+        for name, fn in runnables.items():
+            cycles[name].append(timed_pass(fn))
+    noise: dict[str, float] = {}
+    for name, obs in cycles.items():
+        ratio = max(obs) / max(min(obs), 1e-9)
+        if ratio > 3.0:
+            # cycles disagree wildly -> one capture sat in a noise window;
+            # a third spaced observation tightens the min and the flag
+            # records that this query's environment was unstable
+            obs.append(timed_pass(runnables[name]))
+            noise[name] = round(max(obs) / max(min(obs), 1e-9), 2)
+        timings[name] = round(min(obs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -203,6 +219,11 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             "html_docs_per_sec": round(n_web_docs / timings["html_main_text"], 2),
             "pdf_docs_per_sec": round(n_web_docs / timings["pdf_extract"], 2),
         },
+        # min-over-alternating-cycles protocol: per-query noise flags
+        # (max/min across spaced observations where cycles disagreed >3x —
+        # the flagged queries' mins are still the best repeatable estimate,
+        # the flag marks an unstable measurement environment, not the plan)
+        "noise": {"cycles": 2, "flagged": noise},
     }
     spark.stop()
     result["vs_prev"] = _vs_prev(timings)
