@@ -278,6 +278,49 @@ def lsh_ann_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 4
+) -> DataFrame:
+    """Per-query recall@k of each ANN method against the exact brute-force
+    top-k, computed Spark-side: (method, query_id, recall_at_k). Surfaces
+    ANN quality in the driver artifact every round (VERDICT r2 #7), not
+    only in pytest floors (tests/test_ann_recall.py keeps the assertions).
+
+    The exact top-k is materialized once (it is n_queries·k rows) and each
+    method's hit count is a left-semi join on (query_id, neighbor_id) —
+    no vectors move; only id pairs."""
+    exact = (
+        cosine_topk(embeddings, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # tiny (n_queries*k rows); evaluated once
+    )
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    outs = []
+    for method, approx in (
+        ("lsh", lsh_ann_topk(embeddings, n_queries, k)),
+        ("ivf", ivf_ann_topk(embeddings, n_queries, k, nprobe=nprobe)),
+    ):
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        hit_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+        outs.append(
+            per_q.join(hit_q, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _kmeans_centroids(
     sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:

@@ -399,6 +399,10 @@ def q_ann_ivf(spark, sf):  # Spark-only scale path (rows-only check)
     return S.ivf_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def q_ann_recall(spark, sf):  # rows-only: ANN quality surfaced per round
+    return S.ann_recall(load(spark, sf, "embeddings"), n_queries=5, k=5)
+
+
 def _fixture_media(spark, sf, n=40):
     from .artifacts import get_model
     from .fixtures import corpus_fixture_tables
@@ -482,6 +486,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -534,7 +539,9 @@ ORACLES = {
     "corpus_curation": T.corpus_curation_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
-    # "ann_lsh"/"ann_ivf": Spark-only (seeded hyperplanes / k-means cells)
+    # "ann_lsh"/"ann_ivf"/"ann_recall": Spark-only (seeded hyperplanes /
+    # k-means cells; recall is measured against the exact top-k in-engine —
+    # floors asserted in tests/test_ann_recall.py)
     # → rows-only check here; recall-vs-exact floors are asserted in
     # tests/test_ann_recall.py
 }

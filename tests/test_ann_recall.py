@@ -85,6 +85,35 @@ def test_ivf_nprobe_monotone(spark, embeddings, exact_topk):
     assert r8 >= 0.99  # nprobe == n_cells probes everything → exact
 
 
+def test_ann_recall_query_agrees_with_harness(spark, embeddings, exact_topk):
+    """The contract query ann_recall (rows-only in CORRECTNESS_r{N}) must
+    report, per method, the same mean recall this harness computes — the
+    driver artifact and the pytest floors can never drift apart."""
+    from newocr_spark.analytics.similarity import (
+        ann_recall, ivf_ann_topk, lsh_ann_topk,
+    )
+
+    out = ann_recall(embeddings, n_queries=N_QUERIES, k=K, nprobe=4).collect()
+    assert {r.method for r in out} == {"lsh", "ivf"}
+    assert len(out) == 2 * N_QUERIES
+    by_method = {}
+    for r in out:
+        by_method.setdefault(r.method, []).append(r.recall_at_k)
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean["lsh"] == pytest.approx(
+        _recall(lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K), exact_topk),
+        abs=1e-4,
+    )
+    assert mean["ivf"] == pytest.approx(
+        _recall(
+            ivf_ann_topk(embeddings, n_queries=N_QUERIES, k=K, nprobe=4),
+            exact_topk,
+        ),
+        abs=1e-4,
+    )
+    assert mean["lsh"] >= 0.6 and mean["ivf"] >= 0.7
+
+
 def test_quadratic_guard_ngram(spark):
     from newocr_spark.analytics.dedup import QuadraticScaleError, ngram_jaccard_pairs
 
