@@ -166,14 +166,25 @@ def stream_assemble(
     Expects span rows with a ``committed_at`` timestamp (the state-table
     sink writes one). Output: one row per completed document with span
     counts and the offset-ordered text body.
-    """
-    import json
 
+    State layout: TYPED parallel arrays (seqs/offsets/is_media/texts), not
+    a JSON blob — per-span state cost is the Arrow-encoded scalar width
+    (no quoting/key overhead, no per-batch json parse/serialize of the
+    whole buffer), bounded-tested with a multi-thousand-span document in
+    tests/test_metrics_streaming.py.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if schema is None:
         schema = spark.read.parquet(spans_path).schema
+    # Arrow renders committed_at as a tz-NAIVE pandas timestamp in the
+    # SESSION timezone, while getCurrentWatermarkMs/setTimeoutTimestamp are
+    # UTC epoch-ms; .timestamp() on a naive value assumes UTC, so on a
+    # non-UTC session the quiesce deadline would shift by the tz delta
+    # (early → duplicate half-complete docs; late → docs held past the
+    # gap). Localize to the session tz before epoch conversion.
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
@@ -183,43 +194,50 @@ def stream_assemble(
     )
 
     out_schema = "doc_id string, n_spans int, n_media int, text string"
-    state_schema = "spans string, last_ms long"  # spans JSON-packed
+    state_schema = (
+        "seqs array<int>, offsets array<int>, is_media array<boolean>, "
+        "texts array<string>, last_ms long"
+    )
+
+    def _epoch_ms(ts) -> int:
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:
+            t = t.tz_localize(session_tz)
+        return int(t.timestamp() * 1000)
 
     def assemble(key, pdfs, state):
         if state.hasTimedOut:
-            spans_json, _last = state.get
-            spans = json.loads(spans_json)
-            spans.sort(key=lambda s: (s["offset"], s["seq"]))
-            texts = [s["text"] for s in spans if s["kind"] == "text" and s["text"]]
-            n_media = sum(1 for s in spans if s["kind"] == "media")
+            seqs, offsets, is_media, texts, _last = state.get
+            order = sorted(range(len(seqs)), key=lambda i: (offsets[i], seqs[i]))
+            body = [
+                texts[i] for i in order if not is_media[i] and texts[i]
+            ]
             state.remove()
             yield pd.DataFrame(
                 [
                     {
                         "doc_id": key[0],
-                        "n_spans": len(spans),
-                        "n_media": n_media,
-                        "text": "\n\n".join(texts),
+                        "n_spans": len(seqs),
+                        "n_media": int(sum(1 for m in is_media if m)),
+                        "text": "\n\n".join(body),
                     }
                 ]
             )
             return
-        spans, last_ms = [], 0
+        seqs, offsets, is_media, texts = [], [], [], []
+        last_ms = 0
         if state.exists:
-            spans_json, last_ms = state.get
-            spans = json.loads(spans_json)
+            seqs, offsets, is_media, texts, last_ms = state.get
+            seqs, offsets = list(seqs), list(offsets)
+            is_media, texts = list(is_media), list(texts)
         for pdf in pdfs:
             for r in pdf.itertuples():
-                spans.append(
-                    {
-                        "seq": int(r.seq),
-                        "kind": str(r.kind),
-                        "text": None if pd.isna(r.text) else str(r.text),
-                        "offset": int(r.offset),
-                    }
-                )
-                last_ms = max(last_ms, int(r.committed_at.timestamp() * 1000))
-        state.update((json.dumps(spans), last_ms))
+                seqs.append(int(r.seq))
+                offsets.append(int(r.offset))
+                is_media.append(str(r.kind) == "media")
+                texts.append(None if pd.isna(r.text) else str(r.text))
+                last_ms = max(last_ms, _epoch_ms(r.committed_at))
+        state.update((seqs, offsets, is_media, texts, last_ms))
         # quiesce deadline; a timeout at-or-before the watermark would be
         # rejected, so clamp just past it (fires next micro-batch)
         state.setTimeoutTimestamp(

@@ -250,6 +250,102 @@ def test_stream_web_extract_incremental(spark, font_model, tmp_path):
     assert result.groupBy("doc_id", "seq").count().filter("count > 1").count() == 0
 
 
+def _span_stream_dirs(spark, tmp_path, batches):
+    """Stage span-row batches as mtime-ordered parquet file drops."""
+    import os
+    import shutil
+
+    spans_dir = str(tmp_path / "spans")
+    os.makedirs(spans_dir)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "doc_id string, seq int, kind string, text string, "
+            "offset int, committed_at timestamp"
+        )
+        tmp = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{spans_dir}/part-{i}.parquet"
+        shutil.copy(f"{tmp}/{src}", dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return spans_dir
+
+
+def test_stream_assemble_large_doc_state(spark, tmp_path):
+    """VERDICT r2 #8: typed-array state must hold a multi-thousand-span
+    document across micro-batches and emit it exactly once with every
+    span accounted — bounding per-key state cost at realistic doc sizes
+    (the old JSON-string state re-parsed/re-serialized the whole buffer
+    per batch)."""
+    import datetime as dt
+
+    from newocr_spark.pipeline.streaming import stream_assemble
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    N = 3000
+    half = N // 2
+    b1 = [("big", i, "text" if i % 3 else "media",
+           None if i % 3 == 0 else f"s{i}", i * 2, t(0)) for i in range(half)]
+    b2 = [("big", i, "text" if i % 3 else "media",
+           None if i % 3 == 0 else f"s{i}", i * 2, t(3)) for i in range(half, N)]
+    b2.append(("zz-flush", 0, "text", "sentinel", 0, t(7200)))
+    b3 = [("zz-flush", 1, "text", "sentinel2", 10, t(7201))]
+    spans_dir = _span_stream_dirs(spark, tmp_path, [b1, b2, b3])
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_assemble(
+        spark, spans_dir, out, ckpt, gap_seconds=30, watermark_delay="1 seconds"
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"big"}
+    assert got["big"].n_spans == N
+    assert got["big"].n_media == sum(1 for i in range(N) if i % 3 == 0)
+    # offset-ordered assembly of the non-media texts
+    assert got["big"].text.startswith("s1\n\ns2\n\ns4")
+
+
+def test_stream_assemble_non_utc_session(spark, tmp_path):
+    """ADVICE r2 (medium): on a non-UTC session timezone the quiesce
+    deadline must not shift — Arrow delivers committed_at tz-naive in the
+    SESSION tz while the state timeout API is UTC epoch-ms. Under
+    Asia/Tokyo (+9h) the unfixed epoch conversion holds every document 9h
+    past its gap (nothing ever emitted here); localized conversion emits
+    both docs exactly once."""
+    import datetime as dt
+
+    from newocr_spark.pipeline.streaming import stream_assemble
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        spans_dir = _span_stream_dirs(
+            spark, tmp_path,
+            [
+                [("d0", 0, "text", "alpha", 0, t(0)),
+                 ("d1", 0, "text", "beta", 0, t(1))],
+                [("d0", 1, "text", "gamma", 5, t(5)),
+                 ("zz-flush", 0, "text", "sentinel", 0, t(7200))],
+                [("zz-flush", 1, "text", "sentinel2", 10, t(7201))],
+            ],
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = stream_assemble(
+            spark, spans_dir, out, ckpt, gap_seconds=30,
+            watermark_delay="1 seconds",
+        )
+        q.awaitTermination(180)
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(got) == {"d0", "d1"}
+        assert got["d0"].text == "alpha\n\ngamma"
+        assert got["d0"].n_spans == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+
 def test_stream_assemble_stateful_session_gap(spark, tmp_path):
     """applyInPandasWithState session assembly: spans arriving across TWO
     micro-batches assemble into one document each, emitted only after the
