@@ -160,6 +160,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, J >= threshold).
 
+    NOTE: under strategy 'auto' or 'bitmap' this constructor is EAGER — it
+    runs Spark jobs at DataFrame-construction time (the vocab probe /
+    vocab collect + executor-side bitset build) and registers a broadcast
+    that lives until the context GCs it. Callers that never execute the
+    returned frame still pay that cost.
+
     Exact baseline with TWO physical strategies, picked by the shape that
     actually dominates the cost:
 

@@ -141,11 +141,26 @@ def embedding_neardup_pairs(
     BroadcastNestedLoop + higher-order-function dot spent 56s at sf0.1
     where this kernel spends ~4s; no pair rows ever shuffle in either).
     The threshold compares the 6-digit HALF_UP-rounded cosine so the Spark
-    plan and the DuckDB oracle make the same boundary decision. At 100 TB
-    this becomes the banded-LSH shape of lsh_ann_topk (hyperplane buckets
-    -> equi-join -> exact verify on candidates only); the exact variant
-    exists to verify that path and as the small-corpus tool — the
-    quadratic guard keeps the broadcast side bounded by construction."""
+    plan and the DuckDB oracle make the same boundary decision. Residual
+    parity risk (documented, not observed): (a) BLAS matmul sums in
+    blocked order while the oracle sums sequentially, so the raw doubles
+    can differ by a few ulps; (b) floor(x*1e6+0.5)/1e6 emulates HALF_UP
+    but can disagree with decimal rounding for doubles sitting within an
+    ulp of a .5 tie. Either can flip the 6th digit of a cosine that lands
+    EXACTLY on a rounding/threshold boundary — tests/test_edge_cases.py
+    pins the emulation on exact-representable ties; for corpora where a
+    boundary tie is plausible, compare with a half-ulp tolerance first.
+    At 100 TB this becomes the banded-LSH shape of lsh_ann_topk
+    (hyperplane buckets -> equi-join -> exact verify on candidates only);
+    the exact variant exists to verify that path and as the small-corpus
+    tool — the quadratic guard keeps the broadcast side bounded by
+    construction.
+
+    NOTE this constructor is EAGER: it collects the guarded corpus to the
+    driver and creates a broadcast at DataFrame-construction time (not at
+    first action). Callers that build but never execute the frame still
+    pay the collect; the broadcast lives until the SparkContext GCs it
+    (call .unpersist()/destroy() on long-lived sessions that loop)."""
     guard_quadratic(
         embeddings, max_rows,
         "embedding_neardup_pairs", "lsh_ann_topk / ivf_ann_topk",

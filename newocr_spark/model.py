@@ -42,7 +42,7 @@ class UntrainedModelError(RuntimeError):
     """Raised when a scan is attempted against a model directory that was
     never trained (missing or empty trained tables) — the analogue of the
     reference's UntrainedDatabaseException (recognition/OCRScan.java:99,
-    utils/UntrainedDatabaseException.java)."""
+    train/UntrainedDatabaseException.java)."""
 
 
 @dataclass

@@ -139,3 +139,25 @@ def test_pipeline_mixed_containers(spark, model):
     rows = {r.doc_id: r for r in extract_spans(spark, docs, media, model).collect()}
     assert rows["d1"].text == "png row 1" and rows["d1"].error is None
     assert rows["d2"].text == "bmp row 2" and rows["d2"].error is None
+
+
+def test_half_up_rounding_emulation_on_exact_ties():
+    """The numpy kernels emulate HALF_UP with floor(x*1e6+0.5)/1e6 so that
+    6-digit boundary decisions match F.round / DuckDB round. Pin the
+    emulation on exactly-representable .5 ties, where np.round (banker's)
+    demonstrably flips the other way — the class of value the ADVICE r2
+    ulp note is about."""
+    import duckdb
+    import numpy as np
+
+    ties = [1 / 128, 3 / 256, 5 / 128, 0.4999995]
+    emulated = [float(np.floor(x * 1e6 + 0.5) / 1e6) for x in ties]
+    oracle = [
+        float(r[0])
+        for x in ties
+        for r in duckdb.sql(f"select round({x!r}::double, 6)").fetchall()
+    ]
+    assert emulated == oracle
+    # banker's rounding disagrees on the even-tie cases — the emulation is
+    # load-bearing, not cosmetic
+    assert float(np.round(1 / 128, 6)) != emulated[0]
