@@ -27,11 +27,14 @@ keyed on the media table itself:
     pass-through + missing-media error rows + per-doc seq numbering) runs
     once over the intermediate — idempotent full overwrite.
 
-The sink here is Parquet (this sandbox has no Iceberg runtime on the
-classpath); on an Iceberg deployment the same logic maps to
-``writeTo(...).overwritePartitions()`` for the sinks and a MERGE into the
-state table keyed by (run_id, partition_id) — the unit of idempotency is
-identical.
+All writes and the state log go through the SpanSink / StateStore seam
+(pipeline/sinks.py): the shipped implementation is Parquet (this sandbox
+has no Iceberg runtime on the classpath), and the Iceberg classes there
+are drop-ins — ``overwritePartitions()`` for the per-bucket sinks,
+``createOrReplace()`` for the assembly, MERGE keyed on
+(input_snapshot, partition_id) for the state commits. The unit of
+idempotency is identical; sinks.py documents the mapping guarantee by
+guarantee.
 """
 
 from __future__ import annotations
@@ -43,41 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import FontModel
-
-STATE_SCHEMA = (
-    "run_id string, partition_id int, doc_id_min string, doc_id_max string, "
-    "input_snapshot string, docs_done long, glyph_count long, error_count long, "
-    "wall_ms long, attempt int, committed_at timestamp"
-)
+from .sinks import STATE_SCHEMA, ParquetSpanSink, ParquetStateStore, SpanSink
 
 
-class StateTable:
-    """Append-only parquet state table (Iceberg-state-table stand-in)."""
-
-    def __init__(self, spark: SparkSession, path: str) -> None:
-        self.spark = spark
-        self.path = path
-
-    def read(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], STATE_SCHEMA)
-
-    def completed_buckets(self, input_snapshot: str) -> set[int]:
-        df = self.read().filter(F.col("input_snapshot") == input_snapshot)
-        return {r.partition_id for r in df.select("partition_id").distinct().collect()}
-
-    def append(self, rows: list[dict]) -> None:
-        if rows:
-            self.spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.path)
-
-    def attempts(self, input_snapshot: str) -> int:
-        df = self.read().filter(F.col("input_snapshot") == input_snapshot)
-        row = df.agg(F.max("attempt")).collect()[0]
-        return int(row[0]) if row[0] is not None else 0
+class StateTable(ParquetStateStore):
+    """Back-compat name for the parquet StateStore implementation."""
 
 
 @dataclass
@@ -98,10 +71,17 @@ class ExtractRunner:
     media_join: str = "broadcast_meta"
     # test hook: raise after committing this many groups (simulated crash)
     fail_after_groups: int | None = None
+    # sink seam: default parquet sinks derive from output_path; pass
+    # IcebergSpanSink instances (sinks.py) on a catalog deployment — the
+    # runner never touches paths or write modes itself
+    ocr_sink: SpanSink | None = None
+    out_sink: SpanSink | None = None
 
-    @property
-    def _ocr_dir(self) -> str:
-        return self.output_path + "_ocr"
+    def __post_init__(self) -> None:
+        if self.ocr_sink is None:
+            self.ocr_sink = ParquetSpanSink(self.spark, self.output_path + "_ocr")
+        if self.out_sink is None:
+            self.out_sink = ParquetSpanSink(self.spark, self.output_path)
 
     def _bucket_of(self, col: str):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
@@ -119,9 +99,7 @@ class ExtractRunner:
     def _read_intermediate(self) -> DataFrame:
         from .extract import OCR_OUTPUT_SCHEMA
 
-        return self.spark.read.schema(
-            OCR_OUTPUT_SCHEMA + ", snapshot string, bucket int"
-        ).parquet(self._ocr_dir)
+        return self.ocr_sink.read(OCR_OUTPUT_SCHEMA + ", snapshot string, bucket int")
 
     def run(self, documents: DataFrame, media: DataFrame, input_snapshot: str, run_id: str) -> dict:
         from pyspark.sql import Window
@@ -129,8 +107,6 @@ class ExtractRunner:
         from .extract import OCR_OUTPUT_SCHEMA, make_ocr_udf
 
         spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
         if self.ocr_partitions and self.media_join != "shuffle":
             import warnings
 
@@ -179,8 +155,10 @@ class ExtractRunner:
                 .withColumn("bucket", self._bucket_of("media_ref"))
                 .withColumn("snapshot", F.lit(snap))
             )
-            # idempotent per-bucket intermediate: dynamic partition overwrite
-            ocr.write.mode("overwrite").partitionBy("bucket").parquet(self._ocr_dir)
+            # idempotent per-bucket intermediate: replaces exactly this
+            # group's bucket partitions (dynamic overwrite / Iceberg
+            # overwritePartitions, per the sink)
+            self.ocr_sink.overwrite_partitions(ocr, "bucket")
             wall_ms = int((time.time() - t0) * 1000)
             # metrics from the WRITTEN rows — never re-execute the OCR plan;
             # explicit schema so an all-empty group (no data files yet)
@@ -266,14 +244,12 @@ class ExtractRunner:
             final = result.withColumn(
                 "seq", (F.row_number().over(seq) - 1).cast("int")
             ).withColumn("bucket", self._bucket_of("doc_id"))
-            # FULL overwrite (static): the assembly is the one stage allowed
-            # to rewrite everything — under the session's dynamic mode a
+            # FULL overwrite: the assembly is the one stage allowed to
+            # rewrite everything — a dynamic/partition overwrite of a
             # shrunken snapshot would leave prior-run output partitions in
             # buckets this run doesn't touch
-            final.write.mode("overwrite").option(
-                "partitionOverwriteMode", "static"
-            ).partitionBy("bucket").parquet(self.output_path)
+            self.out_sink.overwrite_all(final, "bucket")
         return stats
 
     def read_output(self) -> DataFrame:
-        return self.spark.read.parquet(self.output_path)
+        return self.out_sink.read()
