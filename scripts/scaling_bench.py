@@ -174,7 +174,10 @@ def child(
         m.unpersist()
         return sd, sm, n_all
 
-    skew_docs, skew_media, n_skew = skew_tables(replicate)
+    # a quarter of the main replica: the big images add ~20x pixel weight
+    # per skewed doc, so the corpus is still CPU-bound at both levels while
+    # the 6 extra timed passes stay a bounded share of the child's runtime
+    skew_docs, skew_media, n_skew = skew_tables(max(8, replicate // 4))
     skew = {"docs": int(n_skew)}
     for strategy in ("broadcast_meta", "shuffle"):
         def skew_pass():
