@@ -381,6 +381,30 @@ def q_corpus_curation(spark, sf):  # composed pipeline: dedup -> lang -> quality
     return T.corpus_curation(load(spark, sf, "documents"))
 
 
+def q_pii_scrub(spark, sf):  # PII redaction over deterministically injected PII
+    from .analytics import curation as C
+
+    return C.pii_scrub(C._with_pii(load(spark, sf, "documents")))
+
+
+def q_decontaminate(spark, sf):  # benchmark n-gram decontamination
+    from .analytics import curation as C
+
+    return C.decontaminate(load(spark, sf, "documents"))
+
+
+def q_stratified_sample(spark, sf):  # deterministic per-language sampling
+    from .analytics import curation as C
+
+    return C.stratified_sample(load(spark, sf, "documents"))
+
+
+def q_pack_sequences(spark, sf):  # training-sequence packing (token stream)
+    from .analytics import curation as C
+
+    return C.pack_sequences(load(spark, sf, "documents"))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -482,6 +506,10 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "corpus_curation": q_corpus_curation,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -539,6 +567,8 @@ ORACLES = {
     "corpus_curation": T.corpus_curation_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
+    # round-3 curation operators (analytics/curation.py)
+    # (registered in _register_curation_oracles below)
     # "ann_lsh"/"ann_ivf"/"ann_recall": Spark-only (seeded hyperplanes /
     # k-means cells; recall is measured against the exact top-k in-engine —
     # floors asserted in tests/test_ann_recall.py)
@@ -557,5 +587,15 @@ def _register_media_oracles() -> None:
     ORACLES["media_frame_sample"] = video_frame_sample_sql(40)
 
 
+def _register_curation_oracles() -> None:
+    from .analytics import curation as C
+
+    ORACLES["pii_scrub"] = C.pii_scrub_sql()
+    ORACLES["decontaminate"] = C.decontaminate_sql()
+    ORACLES["stratified_sample"] = C.stratified_sample_sql()
+    ORACLES["pack_sequences"] = C.pack_sequences_sql()
+
+
 _register_media_oracles()
+_register_curation_oracles()
 _register_web_queries()
