@@ -174,10 +174,13 @@ def child(
         m.unpersist()
         return sd, sm, n_all
 
-    # a quarter of the main replica: the big images add ~20x pixel weight
-    # per skewed doc, so the corpus is still CPU-bound at both levels while
-    # the 6 extra timed passes stay a bounded share of the child's runtime
-    skew_docs, skew_media, n_skew = skew_tables(max(8, replicate // 4))
+    # full-replica sizing: a quarter-size skew corpus measured ~10s walls
+    # at local[16], where ~2.5s of fixed per-pass cost (planning,
+    # broadcast, stage barriers) capped apparent efficiency at ~0.69 —
+    # overhead domination, not a scaling defect. At full size the fixed
+    # share drops under 10%. One warm + one timed pass per strategy per
+    # round; cross-round best-of supplies the noise protection.
+    skew_docs, skew_media, n_skew = skew_tables(replicate)
     skew = {"docs": int(n_skew)}
     for strategy in ("broadcast_meta", "shuffle"):
         def skew_pass():
@@ -188,11 +191,9 @@ def child(
             return out.agg(F.sum("glyph_count")).collect()[0]
 
         skew_pass()  # JVM/worker state is already hot; one warm pass settles the plan
-        w = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            skew_pass()
-            w = min(w, time.time() - t0)
+        t0 = time.time()
+        skew_pass()
+        w = time.time() - t0
         skew[strategy] = {
             "wall_sec": round(w, 3),
             "docs_per_sec": round(n_skew / w, 2),
