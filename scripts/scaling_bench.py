@@ -174,29 +174,45 @@ def child(
         m.unpersist()
         return sd, sm, n_all
 
-    # full-replica sizing: a quarter-size skew corpus measured ~10s walls
-    # at local[16], where ~2.5s of fixed per-pass cost (planning,
-    # broadcast, stage barriers) capped apparent efficiency at ~0.69 —
-    # overhead domination, not a scaling defect. At full size the fixed
-    # share drops under 10%. One warm + one timed pass per strategy per
-    # round; cross-round best-of supplies the noise protection.
+    # Full-replica sizing (quarter-size walls were fixed-cost dominated),
+    # AND a same-size NO-skew control measured in the SAME session: this
+    # VM's session-to-session variance (multi-minute noise windows, JIT/GC
+    # state) is larger than the skew effect itself, so the load-bearing
+    # number is the within-session skew PENALTY (skew wall / control
+    # wall), not a cross-session efficiency ratio. One warm + one timed
+    # pass per variant per round; cross-round best-of covers noise.
     skew_docs, skew_media, n_skew = skew_tables(replicate)
+    ctl_docs, ctl_media, n_ctl = replicated(replicate)
     skew = {"docs": int(n_skew)}
-    for strategy in ("broadcast_meta", "shuffle"):
-        def skew_pass():
+
+    def timed(docs_df, media_df, strategy):
+        def one():
             out = extract_spans(
-                spark, skew_docs, skew_media, model,
+                spark, docs_df, media_df, model,
                 ocr_partitions=cpus * 4, media_join=strategy,
             )
             return out.agg(F.sum("glyph_count")).collect()[0]
 
-        skew_pass()  # JVM/worker state is already hot; one warm pass settles the plan
+        one()  # JVM/worker state is already hot; one warm pass settles the plan
         t0 = time.time()
-        skew_pass()
-        w = time.time() - t0
+        one()
+        return time.time() - t0
+
+    ctl_wall = timed(ctl_docs, ctl_media, "broadcast_meta")
+    skew["control"] = {
+        "wall_sec": round(ctl_wall, 3),
+        "docs_per_sec": round(n_ctl / ctl_wall, 2),
+    }
+    ctl_docs.unpersist()
+    ctl_media.unpersist()
+    for strategy in ("broadcast_meta", "shuffle"):
+        w = timed(skew_docs, skew_media, strategy)
         skew[strategy] = {
             "wall_sec": round(w, 3),
             "docs_per_sec": round(n_skew / w, 2),
+            # within-session skew penalty: how much slower the skewed
+            # corpus runs than the same-size uniform one, same JVM
+            "penalty_vs_control": round(w / ctl_wall, 3),
         }
     skew_docs.unpersist()
     skew_media.unpersist()
@@ -342,12 +358,20 @@ def orchestrate(
                 if cur["web_docs_per_sec"] > best["web_docs_per_sec"]:
                     for k in ("web_docs", "web_wall_sec", "web_docs_per_sec"):
                         best[k] = cur[k]
+                if (
+                    cur["skew"]["control"]["docs_per_sec"]
+                    > best["skew"]["control"]["docs_per_sec"]
+                ):
+                    best["skew"]["control"] = cur["skew"]["control"]
                 for strat in ("broadcast_meta", "shuffle"):
-                    if (
-                        cur["skew"][strat]["docs_per_sec"]
-                        > best["skew"][strat]["docs_per_sec"]
-                    ):
-                        best["skew"][strat] = cur["skew"][strat]
+                    b, c = best["skew"][strat], cur["skew"][strat]
+                    if c["docs_per_sec"] > b["docs_per_sec"]:
+                        b["wall_sec"] = c["wall_sec"]
+                        b["docs_per_sec"] = c["docs_per_sec"]
+                    # the penalty is a within-session ratio: best-of is min
+                    b["penalty_vs_control"] = min(
+                        b["penalty_vs_control"], c["penalty_vs_control"]
+                    )
                 best["skew"]["docs"] = cur["skew"]["docs"]
 
     lo, hi = levels
@@ -429,12 +453,23 @@ confirms it).
 Skew-adversarial corpus (FIXTURES.md skew cases, bench-measured): the
 replicated corpus PLUS ~1% of docs carrying a 20-line image (~10x the
 pixels of a normal span) and ONE doc owning 100 media refs — the exact
-workload the media-join design exists for. Both strategies timed:
+workload the media-join design exists for. A same-size NO-skew control
+runs in the SAME session at each level, because this VM's
+session-to-session variance exceeds the skew effect: the load-bearing
+metric is the within-session skew PENALTY (skew wall ÷ control wall) and
+its ratio across levels (amplification ≈ 1.0 ⇒ higher parallelism does
+not turn the skew into stragglers).
 
-| strategy | docs | local[{lo}] wall (s) | local[{hi}] wall (s) | efficiency |
-|---|---|---|---|---|
-| broadcast_meta (bytes never shuffle) | {r_lo["skew"]["docs"]} | {r_lo["skew"]["broadcast_meta"]["wall_sec"]} | {r_hi["skew"]["broadcast_meta"]["wall_sec"]} | {skew_eff["broadcast_meta"]:.3f} |
-| shuffle (salted xxhash64(media_ref)) | {r_lo["skew"]["docs"]} | {r_lo["skew"]["shuffle"]["wall_sec"]} | {r_hi["skew"]["shuffle"]["wall_sec"]} | {skew_eff["shuffle"]:.3f} |
+| variant | docs | local[{lo}] wall (s) | local[{hi}] wall (s) | penalty lo | penalty hi |
+|---|---|---|---|---|---|
+| control (uniform, same size) | {r_lo["skew"]["docs"]} | {r_lo["skew"]["control"]["wall_sec"]} | {r_hi["skew"]["control"]["wall_sec"]} | 1.0 | 1.0 |
+| broadcast_meta (bytes never shuffle) | {r_lo["skew"]["docs"]} | {r_lo["skew"]["broadcast_meta"]["wall_sec"]} | {r_hi["skew"]["broadcast_meta"]["wall_sec"]} | {r_lo["skew"]["broadcast_meta"]["penalty_vs_control"]:.3f} | {r_hi["skew"]["broadcast_meta"]["penalty_vs_control"]:.3f} |
+| shuffle (salted xxhash64(media_ref)) | {r_lo["skew"]["docs"]} | {r_lo["skew"]["shuffle"]["wall_sec"]} | {r_hi["skew"]["shuffle"]["wall_sec"]} | {r_lo["skew"]["shuffle"]["penalty_vs_control"]:.3f} | {r_hi["skew"]["shuffle"]["penalty_vs_control"]:.3f} |
+
+(Cross-session raw skew efficiency {lo}→{hi}: broadcast_meta
+{skew_eff["broadcast_meta"]:.3f}, shuffle {skew_eff["shuffle"]:.3f} —
+interpret against the same-session penalties and the hardware ceiling
+above, not in isolation.)
 
 Why skew does not break either strategy: big images land in distinct
 media rows spread round-robin across cpus*4 partitions (broadcast_meta
