@@ -87,6 +87,29 @@ CHECKS = {
         "scans, final rollup partially aggregates map-side",
         ["HashAggregate"],
     ),
+    "pii_scrub": (
+        "PII redaction is pure JVM regexp projection over the pruned "
+        "(doc_id, text) scan — zero exchanges, whole-stage codegen "
+        "('codegen id' spans in formatted mode)",
+        ["codegen id", "Project"],
+        ["Exchange"],
+    ),
+    "decontaminate": (
+        "benchmark shingles broadcast; the corpus side never self-joins — "
+        "one broadcast join + one count aggregate",
+        ["BroadcastHashJoin", "HashAggregate"],
+    ),
+    "stratified_sample": (
+        "hash-bucket sampling is a pure narrow filter — zero exchanges",
+        ["Filter"],
+        ["Exchange"],
+    ),
+    "pack_sequences": (
+        "token counts computed before the shard exchange (only (doc_id, "
+        "n_tok, shard, h) rides it); ONE exchange feeding the per-shard "
+        "running-sum window",
+        ["Window", "Exchange"],
+    ),
 }
 
 
