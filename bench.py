@@ -181,12 +181,17 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             cycles[name].append(timed_pass(fn))
     noise: dict[str, float] = {}
     for name, obs in cycles.items():
-        ratio = max(obs) / max(min(obs), 1e-9)
-        if ratio > 3.0:
-            # cycles disagree wildly -> one capture sat in a noise window;
-            # a third spaced observation tightens the min and the flag
-            # records that this query's environment was unstable
+        # cycles disagreeing wildly -> captures sat in noise windows; keep
+        # adding spaced observations (up to 5 total) until two agree
+        # within 3x, so the reported min survives even a day where several
+        # consecutive windows hit (observed: a 2s query reading 77s, a
+        # 4.5s query reading 43s). The flag records the instability.
+        def _agreed() -> bool:
+            lo = min(obs)
+            return sum(1 for o in obs if o <= lo * 3.0) >= 2
+        while not _agreed() and len(obs) < 5:
             obs.append(timed_pass(runnables[name]))
+        if max(obs) / max(min(obs), 1e-9) > 3.0:
             noise[name] = round(max(obs) / max(min(obs), 1e-9), 2)
         timings[name] = round(min(obs), 3)
 
