@@ -35,6 +35,7 @@ BENCH_QUERIES = (
     "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
+    "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
 )
 
@@ -180,17 +181,23 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
         for name, fn in runnables.items():
             cycles[name].append(timed_pass(fn))
     noise: dict[str, float] = {}
+    # cycles disagreeing wildly -> captures sat in noise windows; keep
+    # adding spaced observations (up to 5 per query) until two agree
+    # within 3x, so the reported min survives even a day where several
+    # consecutive windows hit (observed: a 2s query reading 77s, a 4.5s
+    # query reading 43s). A GLOBAL retry budget bounds total runtime on a
+    # day where the whole session is noisy; the flag records whatever
+    # instability remains.
+    retry_budget = 12
+
+    def _agreed(obs) -> bool:
+        lo = min(obs)
+        return sum(1 for o in obs if o <= lo * 3.0) >= 2
+
     for name, obs in cycles.items():
-        # cycles disagreeing wildly -> captures sat in noise windows; keep
-        # adding spaced observations (up to 5 total) until two agree
-        # within 3x, so the reported min survives even a day where several
-        # consecutive windows hit (observed: a 2s query reading 77s, a
-        # 4.5s query reading 43s). The flag records the instability.
-        def _agreed() -> bool:
-            lo = min(obs)
-            return sum(1 for o in obs if o <= lo * 3.0) >= 2
-        while not _agreed() and len(obs) < 5:
+        while not _agreed(obs) and len(obs) < 5 and retry_budget > 0:
             obs.append(timed_pass(runnables[name]))
+            retry_budget -= 1
         if max(obs) / max(min(obs), 1e-9) > 3.0:
             noise[name] = round(max(obs) / max(min(obs), 1e-9), 2)
         timings[name] = round(min(obs), 3)
