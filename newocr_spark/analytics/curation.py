@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import H60_SQL, _h60, _shingles, shingles_sql
+from .dedup import H60_SQL, TOKENS_SQL, _h60, _shingles, _tokens, shingles_sql
 from .textstats import BPE_ISH
 
 # Shared Java-regex ∩ RE2 subset (no backrefs, no lookaround) so the Spark
@@ -45,22 +45,26 @@ def _with_pii(docs: DataFrame) -> DataFrame:
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """Redact emails, phone-like numbers and IPv4s — one narrow JVM
     regexp map per doc, no shuffle, no Python. Returns per-doc redaction
-    counts plus the scrubbed text (emails first: their local parts can
-    contain digit runs the other patterns would double-count)."""
-    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), F.lit(EMAIL_RE), F.lit("<EMAIL>")),
-            F.lit(PHONE_RE), F.lit("<PHONE>"),
-        ),
-        F.lit(IPV4_RE), F.lit("<IP>"),
-    )
+    counts plus the scrubbed text.
+
+    Counts are PROGRESSIVE: emails are counted on the raw text, phones on
+    the email-scrubbed text, IPs on the email+phone-scrubbed text — each
+    count equals the number of placeholders its replace actually inserts
+    (a digit run inside an email's local part can look phone-shaped but is
+    swallowed by <EMAIL>, so counting every pattern on the raw text could
+    report more matches than placeholders). The oracle mirrors the same
+    staging."""
+    n = lambda t, pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
+    t2 = F.regexp_replace(t1, F.lit(PHONE_RE), F.lit("<PHONE>"))
+    t3 = F.regexp_replace(t2, F.lit(IPV4_RE), F.lit("<IP>"))
     return docs.select(
         "doc_id",
-        n(EMAIL_RE).alias("n_emails"),
-        n(PHONE_RE).alias("n_phones"),
-        n(IPV4_RE).alias("n_ips"),
-        scrubbed.alias("clean_text"),
+        n(t0, EMAIL_RE).alias("n_emails"),
+        n(t1, PHONE_RE).alias("n_phones"),
+        n(t2, IPV4_RE).alias("n_ips"),
+        t3.alias("clean_text"),
     )
 
 
@@ -72,29 +76,106 @@ def pii_scrub_sql() -> str:
         "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
     )
     return f"""
-    WITH injected AS (SELECT doc_id, {synth} AS text FROM documents)
+    WITH injected AS (SELECT doc_id, {synth} AS text FROM documents),
+    s1 AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM injected
+    ),
+    s2 AS (
+      SELECT doc_id, t0, t1,
+             regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
+      FROM s1
+    )
     SELECT doc_id,
-           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
-           len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PHONE_RE}', '<PHONE>', 'g'),
-             '{IPV4_RE}', '<IP>', 'g') AS clean_text
-    FROM injected
+           len(regexp_extract_all(t0, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t1, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(t2, '{IPV4_RE}')) AS n_ips,
+           regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS clean_text
+    FROM s2
+    """
+
+
+def _with_contamination(
+    docs: DataFrame,
+    bench_mod: int = 53,
+    quote_tokens: int = 16,
+    inject_mod: int = 7,
+    inject_rem: int = 3,
+) -> DataFrame:
+    """Deterministically inject benchmark leakage into the synthetic corpus
+    for the decontamination contract query: docs with
+    ``doc_id % inject_mod == inject_rem`` get the first ``quote_tokens``
+    tokens of a deterministically chosen benchmark doc
+    (``doc_id % 10 * bench_mod``) appended verbatim — the literal
+    train-on-eval contamination the operator exists to catch. The synthetic
+    corpus's ~30-word vocabulary makes NATURAL 8-gram overlap essentially
+    zero (measured: 0 docs at sf0.01), so without injection a realistic-n
+    contract query would certify an empty result. Pure function of
+    (doc_id, corpus): the oracle reconstructs the identical input in SQL."""
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.array_join(F.slice(_tokens(F.col("text")), 1, quote_tokens), " ").alias(
+            "quote"
+        ),
+    )
+    keyed = docs.select(
+        "doc_id", "text",
+        (F.pmod(F.col("doc_id"), F.lit(10)) * bench_mod).alias("b_key"),
+    )
+    inject = (F.pmod(F.col("doc_id"), F.lit(inject_mod)) == inject_rem) & F.col(
+        "quote"
+    ).isNotNull()
+    return (
+        keyed.join(F.broadcast(bench), F.col("b_key") == F.col("b_id"), "left")
+        .select(
+            "doc_id",
+            F.when(inject, F.concat_ws(" ", F.col("text"), F.col("quote")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def contamination_sql(
+    bench_mod: int = 53,
+    quote_tokens: int = 16,
+    inject_mod: int = 7,
+    inject_rem: int = 3,
+) -> str:
+    """DuckDB mirror of `_with_contamination` (yields (doc_id, text))."""
+    return f"""
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % {inject_mod} = {inject_rem}
+                     AND q.quote IS NOT NULL
+                THEN d.text || ' ' || q.quote ELSE d.text END AS text
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id AS b_id,
+             array_to_string(({TOKENS_SQL})[1:{quote_tokens}], ' ') AS quote
+      FROM documents WHERE doc_id % {bench_mod} = 0
+    ) q ON q.b_id = (d.doc_id % 10) * {bench_mod}
     """
 
 
 def decontaminate(
-    docs: DataFrame, n: int = 2, min_overlap: int = 3, bench_mod: int = 53
+    docs: DataFrame, n: int = 8, min_overlap: int = 3, bench_mod: int = 53
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing >= min_overlap
     distinct n-gram shingles with a benchmark/eval set (here the
     deterministic slice doc_id % bench_mod == 0 stands in for the eval
-    suite). 100 TB shape: the benchmark shingle set is SMALL by definition
-    (eval suites are thousands of docs) → distinct + broadcast; the corpus
-    side is one narrow shingle map + a broadcast semi-join + one count
+    suite).
+
+    The default is 8-gram shingles: published decontamination practice uses
+    long exact n-grams (GPT-3's appendix C uses 13-grams; the Llama/PaLM
+    reports use 8-10-gram overlap) because short shingles flag everything —
+    on any real corpus nearly every bigram of an eval doc occurs somewhere
+    in training data, so n=2 reduces the stage to "drop most of the
+    corpus". n stays a parameter for corpus-specific tuning.
+
+    100 TB shape: the benchmark shingle set is SMALL by definition (eval
+    suites are thousands of docs) → distinct + broadcast; the corpus side
+    is one narrow shingle map + a broadcast semi-join + one count
     aggregate — the corpus never self-joins and never shuffles its text."""
     is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
     bench_sh = (
@@ -110,9 +191,21 @@ def decontaminate(
     )
 
 
-def decontaminate_sql(n: int = 2, min_overlap: int = 3, bench_mod: int = 53) -> str:
+def decontaminate_sql(
+    n: int = 8,
+    min_overlap: int = 3,
+    bench_mod: int = 53,
+    contaminated: bool = False,
+) -> str:
+    """Oracle; contaminated=True runs over the `_with_contamination`
+    reconstruction (the registered contract query's input)."""
+    if contaminated:
+        pre = f"injected AS ({contamination_sql(bench_mod)}), "
+        src = "injected"
+    else:
+        pre, src = "", "documents"
     return f"""
-    WITH sh AS ({shingles_sql(n)}),
+    WITH {pre}sh AS ({shingles_sql(n, src)}),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0),
     train AS (SELECT * FROM sh WHERE doc_id % {bench_mod} != 0)
     SELECT t.doc_id, count(*) AS n_overlap
@@ -165,8 +258,19 @@ def pack_sequences(
     docs: DataFrame, budget: int = 512, n_shards: int = 8
 ) -> DataFrame:
     """Training-sequence packing: lay the corpus out as a contiguous token
-    stream per shard (deterministic hash order) and assign each doc the
-    fixed-size training sequence its first token lands in.
+    stream per shard (deterministic hash order) and report, per doc, the
+    fixed-size training sequences it occupies:
+
+      seq_id      — sequence holding the doc's FIRST token
+      end_seq_id  — sequence holding the doc's LAST token (== seq_id when
+                    the doc fits inside one sequence; a doc with
+                    n_tok > budget necessarily spans several)
+      n_seqs      — end_seq_id - seq_id + 1
+
+    An empty doc (n_tok == 0) occupies the single sequence its offset
+    lands in. `pack_manifest` explodes this into one row per (doc,
+    sequence) for consumers that need the reverse mapping (what fills
+    sequence k).
 
     100 TB shape: ONE shuffle (by shard) + one within-shard running-sum
     window; shard count scales with the cluster, the window never sees
@@ -189,17 +293,23 @@ def pack_sequences(
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return base.select(
+    packed = base.select(
         "doc_id", "shard", "n_tok",
         F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_offset"),
-    ).select(
+    )
+    last_tok = F.col("tok_offset") + F.greatest(F.col("n_tok"), F.lit(1)) - 1
+    return packed.select(
         "doc_id", "shard", "n_tok", "tok_offset",
         F.floor(F.col("tok_offset") / budget).cast("long").alias("seq_id"),
-    )
+        F.floor(last_tok / budget).cast("long").alias("end_seq_id"),
+    ).withColumn("n_seqs", F.col("end_seq_id") - F.col("seq_id") + 1)
 
 
 def pack_sequences_sql(budget: int = 512, n_shards: int = 8) -> str:
     h = H60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    # CASTs: DuckDB's windowed SUM returns HUGEINT and its floor() a
+    # DOUBLE — both must be pinned to BIGINT to hash-match Spark's longs
+    # (same class of fix as lag_arith in round 1).
     return f"""
     WITH base AS (
       SELECT doc_id,
@@ -210,13 +320,44 @@ def pack_sequences_sql(budget: int = 512, n_shards: int = 8) -> str:
     ),
     packed AS (
       SELECT doc_id, shard, n_tok,
-             COALESCE(SUM(n_tok) OVER (
+             CAST(COALESCE(SUM(n_tok) OVER (
                PARTITION BY shard ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tok_offset
+               AS BIGINT) AS tok_offset
       FROM base
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tok, tok_offset,
+             CAST(floor(tok_offset / {budget}) AS BIGINT) AS seq_id,
+             CAST(floor((tok_offset + greatest(n_tok, 1) - 1) / {budget})
+                  AS BIGINT) AS end_seq_id
+      FROM packed
     )
-    SELECT doc_id, shard, n_tok, tok_offset,
-           CAST(floor(tok_offset / {budget}) AS BIGINT) AS seq_id
+    SELECT doc_id, shard, n_tok, tok_offset, seq_id, end_seq_id,
+           end_seq_id - seq_id + 1 AS n_seqs
+    FROM spans
+    """
+
+
+def pack_manifest(
+    docs: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Packed-sequence manifest: one row per (doc, occupied sequence) —
+    the reverse mapping of `pack_sequences` ("what fills sequence k"), the
+    layout a training loader actually consumes. The explode fans each doc
+    to its n_seqs sequences (almost always 1), so the output is barely
+    larger than the input and no extra shuffle is added."""
+    packed = pack_sequences(docs, budget, n_shards)
+    return packed.select(
+        "doc_id", "shard",
+        F.explode(F.sequence(F.col("seq_id"), F.col("end_seq_id"))).alias("seq_id"),
+    )
+
+
+def pack_manifest_sql(budget: int = 512, n_shards: int = 8) -> str:
+    return f"""
+    WITH packed AS ({pack_sequences_sql(budget, n_shards)})
+    SELECT doc_id, shard,
+           UNNEST(generate_series(seq_id, end_seq_id)) AS seq_id
     FROM packed
     """

@@ -508,10 +508,10 @@ H60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
-def shingles_sql(n: int = 2) -> str:
+def shingles_sql(n: int = 2, table: str = "documents") -> str:
     # mirrors the Spark sliding window: slice the token list per position
     return f"""
-    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {table})
     SELECT DISTINCT doc_id,
            array_to_string(toks[i.i : i.i + {n - 1}], ' ') AS shingle
     FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - {n - 1}))

@@ -387,10 +387,13 @@ def q_pii_scrub(spark, sf):  # PII redaction over deterministically injected PII
     return C.pii_scrub(C._with_pii(load(spark, sf, "documents")))
 
 
-def q_decontaminate(spark, sf):  # benchmark n-gram decontamination
+def q_decontaminate(spark, sf):  # benchmark 8-gram decontamination over
+    # deterministically injected eval-quote leakage (the synthetic corpus
+    # has ~zero natural 8-gram overlap; real decontamination uses long
+    # n-grams — see analytics/curation.py:decontaminate)
     from .analytics import curation as C
 
-    return C.decontaminate(load(spark, sf, "documents"))
+    return C.decontaminate(C._with_contamination(load(spark, sf, "documents")))
 
 
 def q_stratified_sample(spark, sf):  # deterministic per-language sampling
@@ -403,6 +406,12 @@ def q_pack_sequences(spark, sf):  # training-sequence packing (token stream)
     from .analytics import curation as C
 
     return C.pack_sequences(load(spark, sf, "documents"))
+
+
+def q_pack_manifest(spark, sf):  # exploded (doc, occupied sequence) layout
+    from .analytics import curation as C
+
+    return C.pack_manifest(load(spark, sf, "documents"))
 
 
 def q_embed_neardup(spark, sf):
@@ -510,6 +519,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "pack_manifest": q_pack_manifest,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -591,9 +601,10 @@ def _register_curation_oracles() -> None:
     from .analytics import curation as C
 
     ORACLES["pii_scrub"] = C.pii_scrub_sql()
-    ORACLES["decontaminate"] = C.decontaminate_sql()
+    ORACLES["decontaminate"] = C.decontaminate_sql(contaminated=True)
     ORACLES["stratified_sample"] = C.stratified_sample_sql()
     ORACLES["pack_sequences"] = C.pack_sequences_sql()
+    ORACLES["pack_manifest"] = C.pack_manifest_sql()
 
 
 _register_media_oracles()

@@ -30,17 +30,36 @@ def test_pii_scrub_redacts_and_counts(spark):
 
 
 def test_decontaminate_flags_overlapping_doc(spark):
-    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    # realistic default n=8: only a verbatim multi-token quote overlaps
+    bench_text = " ".join(f"w{i}" for i in range(20))  # 13 distinct 8-grams
     rows = [
         (0, bench_text),                        # doc_id % 53 == 0 → benchmark
-        (1, bench_text + " extra tail words"),  # heavy overlap → flagged
-        (2, "completely different content with no shared bigrams at all"),
+        (1, bench_text + " extra tail words"),  # quotes all 13 → flagged
+        (2, " ".join(f"z{i}" for i in range(20))),  # disjoint → clean
+        # shares a few words but no 8-token run → clean at n=8
+        (3, "w0 w1 w2 unrelated w5 w6 w7 filler w9 w10 w11 pad w13 w14"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r.doc_id: r.n_overlap for r in C.decontaminate(docs).collect()}
-    assert 1 in got and got[1] >= 3
-    assert 2 not in got
-    assert 0 not in got  # the benchmark itself is never flagged
+    assert got == {1: 13}  # benchmark itself never flagged; partial overlap clean
+
+
+def test_with_contamination_injects_deterministic_quotes(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(20))) for i in range(120)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.text for r in C._with_contamination(docs).collect()}
+    base = {r.doc_id: r.text for r in docs.collect()}
+    # doc 10: 10 % 7 == 3, b_key = (10 % 10) * 53 = 0 → quotes doc 0
+    assert out[10] == base[10] + " " + " ".join(base[0].split()[:16])
+    # doc 31: 31 % 7 == 3, b_key = (31 % 10) * 53 = 53 → quotes doc 53
+    assert out[31] == base[31] + " " + " ".join(base[53].split()[:16])
+    # non-selected docs unchanged
+    assert out[11] == base[11]
+    # injected docs get flagged at n=8 (16-token quote → 9 shared 8-grams)
+    flagged = {r.doc_id for r in C.decontaminate(C._with_contamination(docs)).collect()}
+    assert 10 in flagged and 31 in flagged and 11 not in flagged
 
 
 def test_stratified_sample_deterministic_and_rate_shaped(spark):
@@ -75,3 +94,38 @@ def test_pack_sequences_contiguous_stream(spark):
             assert r.tok_offset == off
             assert r.seq_id == off // 64
             off += r.n_tok
+
+
+def test_pack_sequences_doc_spans_boundary(spark):
+    # n_tok (30) > budget (8): every doc necessarily spans >= 4 sequences
+    docs = spark.createDataFrame(
+        [(i, "word " * 30) for i in range(6)], "doc_id bigint, text string"
+    )
+    rows = C.pack_sequences(docs, budget=8, n_shards=2).collect()
+    assert rows
+    for r in rows:
+        assert r.end_seq_id == (r.tok_offset + max(r.n_tok, 1) - 1) // 8
+        assert r.n_seqs == r.end_seq_id - r.seq_id + 1
+        assert r.n_seqs >= 4  # 30 tokens over 8-token sequences
+    # the manifest explodes exactly the occupied range, per doc
+    man = C.pack_manifest(docs, budget=8, n_shards=2).collect()
+    by_doc = {}
+    for m in man:
+        by_doc.setdefault(m.doc_id, set()).add(m.seq_id)
+    for r in rows:
+        assert by_doc[r.doc_id] == set(range(r.seq_id, r.end_seq_id + 1))
+    # within a shard the occupied sequences tile the stream: no gaps
+    for shard in (0, 1):
+        seqs = {m.seq_id for m in man if m.shard == shard}
+        if seqs:
+            assert seqs == set(range(0, max(seqs) + 1))
+
+
+def test_pack_sequences_empty_doc_occupies_one_sequence(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in C.pack_sequences(docs, budget=4, n_shards=1).collect()}
+    assert rows[2].n_tok == 0
+    assert rows[2].n_seqs == 1
+    assert rows[2].end_seq_id == rows[2].seq_id
