@@ -13,11 +13,14 @@ documented in analytics/curation.py / analytics/dedup.py):
 
   near-dup cluster resolution (MinHash-LSH → connected components)
     → keep one doc per cluster (doc_id == cluster_id), all singletons
-    → drop benchmark-contaminated docs (broadcast shingle semi-join)
+    → drop the benchmark slice itself AND training docs contaminated by
+      it (broadcast shingle semi-join) — eval docs must never reach the
+      packed training output
     → PII scrub (narrow JVM regexp map)
     → per-language stratified sample (hash-bucket filter, no RNG state)
     → pack into fixed-budget training sequences (one shuffle by shard,
-      one within-shard running-sum window)
+      one within-shard running-sum window; docs longer than the budget
+      span end_seq_id/n_seqs sequences)
     → write parquet partitioned by shard
 
 At 10^12-document scale: --shards sizes the packing shuffle (pick
@@ -31,17 +34,21 @@ from __future__ import annotations
 import argparse
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """Returns the curated doc count. ``argv``/``spark`` are injectable so
+    the e2e test (tests/test_curate_job.py) can drive the exact
+    spark-submit composition in-process; a real submit passes neither."""
     p = argparse.ArgumentParser()
     p.add_argument("--documents", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--dedup-threshold", type=float, default=0.5)
     p.add_argument("--benchmark-mod", type=int, default=53)
+    p.add_argument("--decon-n", type=int, default=8)
     p.add_argument("--min-overlap", type=int, default=3)
     p.add_argument("--seq-budget", type=int, default=2048)
     p.add_argument("--shards", type=int, default=4096)
     p.add_argument("--checkpoint-dir", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -49,7 +56,9 @@ def main() -> None:
     from newocr_spark.analytics import curation as C
     from newocr_spark.analytics.dedup import dup_clusters
 
-    spark = SparkSession.builder.appName("newocr-curate").getOrCreate()
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("newocr-curate").getOrCreate()
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
@@ -62,16 +71,21 @@ def main() -> None:
     )
     kept = docs.join(drop_dups, "doc_id", "left_anti")
 
-    # 2. benchmark decontamination: drop flagged docs. --benchmark-mod 0
-    # disables the stage. NB: on the driver's synthetic corpus the tiny
-    # shared vocabulary makes bigram overlap pervasive, so the default
-    # min_overlap drops most docs there — real text does not behave this
-    # way; tune --min-overlap per corpus.
+    # 2. benchmark decontamination: drop the benchmark slice itself (eval
+    # docs are not training data) and every training doc overlapping it.
+    # --benchmark-mod 0 disables the stage. --decon-n defaults to the
+    # realistic 8-gram setting (analytics/curation.py:decontaminate);
+    # tune --min-overlap per corpus.
     if args.benchmark_mod > 0:
         contaminated = C.decontaminate(
-            kept, min_overlap=args.min_overlap, bench_mod=args.benchmark_mod
+            kept,
+            n=args.decon_n,
+            min_overlap=args.min_overlap,
+            bench_mod=args.benchmark_mod,
         ).select("doc_id")
-        kept = kept.join(contaminated, "doc_id", "left_anti")
+        kept = kept.filter(
+            F.pmod(F.col("doc_id"), F.lit(args.benchmark_mod)) != 0
+        ).join(contaminated, "doc_id", "left_anti")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(
@@ -87,13 +101,15 @@ def main() -> None:
     packed = C.pack_sequences(kept, budget=args.seq_budget, n_shards=args.shards)
     out = kept.join(packed, "doc_id").select(
         "doc_id", "lang", "text", "n_emails", "n_phones", "n_ips",
-        "shard", "seq_id", "n_tok", "tok_offset",
+        "shard", "seq_id", "end_seq_id", "n_seqs", "n_tok", "tok_offset",
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
 
     n = spark.read.parquet(args.output).count()
     print(f"curated {n} docs -> {args.output}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return n
 
 
 if __name__ == "__main__":

@@ -48,6 +48,27 @@ def guard_quadratic(df: DataFrame, max_rows: int | None, op: str, scale_path: st
         )
 
 
+def _attach_broadcasts(df: DataFrame, *bcs) -> DataFrame:
+    """Record the SparkContext broadcasts an EAGER operator created at
+    DataFrame-construction time on the frame itself, so long-lived sessions
+    can free them deterministically with `release_broadcasts` instead of
+    waiting for context GC (each ngram-bitmap / embedding-neardup call
+    otherwise pins docs×vocab/8 or n×dim×8 bytes on every executor)."""
+    df._newocr_broadcasts = bcs
+    return df
+
+
+def release_broadcasts(df: DataFrame) -> int:
+    """Destroy the broadcasts attached to `df` (call AFTER the final action
+    on the frame — it is no longer executable afterwards). Idempotent;
+    returns how many broadcasts were released."""
+    bcs = getattr(df, "_newocr_broadcasts", ())
+    for bc in bcs:
+        bc.destroy()
+    df._newocr_broadcasts = ()
+    return len(bcs)
+
+
 def _h60(col):
     """60-bit deterministic hash of a string column (same value in DuckDB:
     CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
@@ -296,7 +317,10 @@ def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
     stream = per_doc.select("doc_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return stream.mapInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double")
+    return _attach_broadcasts(
+        stream.mapInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double"),
+        sid_b, mat_b,
+    )
 
 
 def _signatures_from(sh: DataFrame) -> DataFrame:
@@ -448,12 +472,28 @@ def _cc_labels(
         if changed == 0:
             break
     if changed != 0:
-        raise NonConvergenceError(
-            f"min-label propagation still changing {changed} labels after "
-            f"{max_rounds} rounds — component diameter exceeds the budget; "
-            "raise max_rounds (or switch to large-star/small-star, which "
-            "converges in O(log n) rounds)"
+        # The in-loop probe LAGS one round: it compares round r to round
+        # r-1, so labels that reach the fixpoint exactly on round
+        # max_rounds still show changed > 0. Run one extra changed-label
+        # probe on the FINAL labels before raising — a correct result must
+        # never be discarded as non-converged (ADVICE r3).
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        still = (
+            labels.join(nbr, labels.doc_id == nbr.src)
+            .where(F.col("nbr_min") < F.col("cluster_id"))
+            .count()
+        )
+        if still != 0:
+            raise NonConvergenceError(
+                f"min-label propagation still changing {still} labels after "
+                f"{max_rounds} rounds — component diameter exceeds the budget; "
+                "raise max_rounds (or switch to large-star/small-star, which "
+                "converges in O(log n) rounds)"
+            )
     return labels
 
 

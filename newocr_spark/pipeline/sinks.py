@@ -132,6 +132,77 @@ class ParquetStateStore(StateStore):
             ).parquet(self.path)
 
 
+class SqliteStateStore(StateStore):
+    """State log in a SQLite database file — a second live implementation
+    of the seam with genuinely different storage semantics (transactional
+    row store, no directories, no parquet), proving the interface isn't
+    parquet-shaped: the resume suite (tests/test_pipeline_spark.py) runs
+    identically over both. Commits are closer to IcebergStateStore's
+    MERGE than to the parquet append log: a UNIQUE(input_snapshot,
+    partition_id) index with ON CONFLICT IGNORE makes duplicate bucket
+    commits impossible at the storage level ("WHEN NOT MATCHED THEN
+    INSERT"), where the parquet log merely tolerates them."""
+
+    _COLS = (
+        "run_id", "partition_id", "doc_id_min", "doc_id_max",
+        "input_snapshot", "docs_done", "glyph_count", "error_count",
+        "wall_ms", "attempt", "committed_at",
+    )
+
+    def __init__(self, spark: SparkSession, db_path: str) -> None:
+        self.spark = spark
+        self.db_path = db_path
+
+    def _conn(self):
+        import sqlite3
+
+        conn = sqlite3.connect(self.db_path)
+        conn.execute(
+            """CREATE TABLE IF NOT EXISTS state (
+                 run_id TEXT, partition_id INTEGER,
+                 doc_id_min TEXT, doc_id_max TEXT, input_snapshot TEXT,
+                 docs_done INTEGER, glyph_count INTEGER, error_count INTEGER,
+                 wall_ms INTEGER, attempt INTEGER, committed_at TEXT,
+                 UNIQUE (input_snapshot, partition_id) ON CONFLICT IGNORE
+               )"""
+        )
+        return conn
+
+    def read(self) -> DataFrame:
+        import datetime
+
+        with self._conn() as conn:
+            rows = conn.execute(
+                f"SELECT {', '.join(self._COLS)} FROM state"
+            ).fetchall()
+        if not rows:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        ts = len(self._COLS) - 1  # committed_at is last
+        recs = [
+            r[:ts] + (datetime.datetime.fromisoformat(r[ts]),) for r in rows
+        ]
+        return self.spark.createDataFrame(recs, STATE_SCHEMA)
+
+    def append(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        sql = (
+            f"INSERT INTO state ({', '.join(self._COLS)}) "
+            f"VALUES ({', '.join('?' * len(self._COLS))})"
+        )
+        with self._conn() as conn:
+            conn.executemany(
+                sql,
+                [
+                    tuple(
+                        row[c].isoformat() if c == "committed_at" else row[c]
+                        for c in self._COLS
+                    )
+                    for row in rows
+                ],
+            )
+
+
 # ---------------------------------------------------------------------------
 # Iceberg implementations (drop-ins on a deployment with an Iceberg catalog;
 # constructible here, exercisable only where `writeTo(...).overwritePartitions`

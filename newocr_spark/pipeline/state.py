@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import FontModel
-from .sinks import STATE_SCHEMA, ParquetSpanSink, ParquetStateStore, SpanSink
+from .sinks import STATE_SCHEMA, ParquetSpanSink, ParquetStateStore, SpanSink, StateStore
 
 
 class StateTable(ParquetStateStore):
@@ -60,7 +60,7 @@ class ExtractRunner:
     spark: SparkSession
     model: FontModel
     output_path: str
-    state: StateTable
+    state: StateStore
     n_buckets: int = 16
     group_size: int = 4
     ocr_partitions: int | None = None

@@ -202,7 +202,13 @@ def stream_assemble(
     def _epoch_ms(ts) -> int:
         t = pd.Timestamp(ts)
         if t.tzinfo is None:
-            t = t.tz_localize(session_tz)
+            # DST transitions: a committed_at in an ambiguous local hour
+            # resolves to the DST side, one in a nonexistent hour shifts
+            # forward — the default `raise` would kill the whole query on
+            # any non-fixed-offset session tz twice a year.
+            t = t.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
         return int(t.timestamp() * 1000)
 
     def assemble(key, pdfs, state):

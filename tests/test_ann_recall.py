@@ -46,14 +46,32 @@ def exact_topk(spark, embeddings):
 
 
 def test_lsh_recall_floor(spark, embeddings, exact_topk):
-    """Multi-table hyperplane LSH at defaults (4 planes x 8 tables).
-    Measured sweep on this corpus (seed 42): 4 tables 0.375, 8 tables
-    0.70, 16 tables 0.975 — recall 1-(1-p^planes)^tables compounds with
-    tables as designed. Floor 0.6 leaves margin under the seeded draw."""
+    """Multi-table hyperplane LSH at defaults (4 planes x 8 tables,
+    1-bit-flip multiprobe). Measured sweep on this corpus (seed 42):
+    exact-bucket only (multiprobe=0) 4 tables 0.375 / 8 tables 0.70 /
+    16 tables 0.975; multiprobe=1 at 8 tables lifts 0.70 → 1.00 by
+    probing the planes+1 query-side neighbor buckets. Floor 0.8 leaves
+    margin under the seeded draw."""
     from newocr_spark.analytics.similarity import lsh_ann_topk
 
     approx = lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K)
-    assert _recall(approx, exact_topk) >= 0.6
+    assert _recall(approx, exact_topk) >= 0.8
+
+
+def test_lsh_multiprobe_widens_recall(spark, embeddings, exact_topk):
+    """Multiprobe only ADDS query-side probe buckets → its candidate set
+    is a superset of the exact-bucket set; recall must not drop."""
+    from newocr_spark.analytics.similarity import lsh_ann_topk
+
+    r0 = _recall(
+        lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K, multiprobe=0),
+        exact_topk,
+    )
+    r1 = _recall(
+        lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K, multiprobe=1),
+        exact_topk,
+    )
+    assert r1 >= r0
 
 
 def test_ivf_recall_floor(spark, embeddings, exact_topk):
@@ -111,7 +129,7 @@ def test_ann_recall_query_agrees_with_harness(spark, embeddings, exact_topk):
         ),
         abs=1e-4,
     )
-    assert mean["lsh"] >= 0.6 and mean["ivf"] >= 0.7
+    assert mean["lsh"] >= 0.8 and mean["ivf"] >= 0.7
 
 
 def test_quadratic_guard_ngram(spark):

@@ -47,6 +47,15 @@ def test_chain_through_reliable_checkpoint(spark, tmp_path):
             sc._jsc.sc().setCheckpointDir(None)
 
 
+def test_fixpoint_on_final_round_is_accepted(spark):
+    """ADVICE r3: the in-loop probe lags one round — labels reaching the
+    fixpoint EXACTLY on round max_rounds used to raise and discard a
+    correct result. The 1-2-3-4-5 chain needs exactly 4 propagation
+    rounds; max_rounds=4 must now succeed via the post-loop probe."""
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_rounds=4)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
 def test_non_convergence_raises(spark):
     """A diameter-4 chain cannot converge in 2 rounds: stale labels must
     raise (ADVICE r2: silent stale labels diverge from the exact-closure

@@ -51,15 +51,30 @@ def test_assembled_documents_ordered(spark, font_model, fixture_dir):
     assert offsets == sorted(offsets)
 
 
-def test_resume_no_dup_no_loss(spark, font_model, fixture_dir, tmp_path):
-    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+def _make_state(spark, tmp_path, kind):
+    """The resume guarantees must hold through the StateStore INTERFACE,
+    not through parquet semantics — parameterizing the suite over a
+    directory-of-parquet log and a transactional sqlite row store proves
+    the seam is real (VERDICT r3 #7)."""
+    if kind == "sqlite":
+        from newocr_spark.pipeline.sinks import SqliteStateStore
+
+        return SqliteStateStore(spark, str(tmp_path / "state.db"))
+    from newocr_spark.pipeline.state import StateTable
+
+    return StateTable(spark, str(tmp_path / "state"))
+
+
+@pytest.mark.parametrize("store", ["parquet", "sqlite"])
+def test_resume_no_dup_no_loss(spark, font_model, fixture_dir, tmp_path, store):
+    from newocr_spark.pipeline.state import ExtractRunner
 
     docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
     media = spark.read.parquet(f"{fixture_dir}/media.parquet")
     golden = spark.read.parquet(f"{fixture_dir}/golden_spans.parquet")
 
     out = str(tmp_path / "out")
-    state = StateTable(spark, str(tmp_path / "state"))
+    state = _make_state(spark, tmp_path, store)
     runner = ExtractRunner(
         spark, font_model, out, state, n_buckets=8, group_size=2,
         fail_after_groups=1,
@@ -86,14 +101,15 @@ def test_resume_no_dup_no_loss(spark, font_model, fixture_dir, tmp_path):
     assert set(r.partition_id for r in st.collect()) == set(range(8))
 
 
-def test_idempotent_rerun(spark, font_model, fixture_dir, tmp_path):
+@pytest.mark.parametrize("store", ["parquet", "sqlite"])
+def test_idempotent_rerun(spark, font_model, fixture_dir, tmp_path, store):
     """Re-running an already-complete snapshot does nothing."""
-    from newocr_spark.pipeline.state import ExtractRunner, StateTable
+    from newocr_spark.pipeline.state import ExtractRunner
 
     docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
     media = spark.read.parquet(f"{fixture_dir}/media.parquet")
     out = str(tmp_path / "out")
-    state = StateTable(spark, str(tmp_path / "state"))
+    state = _make_state(spark, tmp_path, store)
     runner = ExtractRunner(spark, font_model, out, state, n_buckets=4, group_size=4)
     runner.run(docs, media, input_snapshot="s", run_id="r1")
     n1 = runner.read_output().count()
