@@ -35,6 +35,7 @@ BENCH_QUERIES = (
     "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
+    "repetition_stats",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest",
     "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",

@@ -251,3 +251,123 @@ def corpus_curation_sql(quality_floor: float = 0.85) -> str:
            round(avg(quality_score), 6) AS avg_quality
     FROM cur GROUP BY lang_pred
     """
+
+
+# Gopher-style repetition gate defaults, set from the measured sf0.01
+# distribution (top_tok p75≈0.11, top_bigram p75≈0.05, dup_bigram
+# max≈0.27) so the gate is non-trivial on the synthetic corpus; real
+# deployments tune per corpus exactly as Rae et al. 2021 (Gopher,
+# table A1) tune their fraction thresholds.
+REP_TOP_TOK_MAX = 0.12
+REP_TOP_BIGRAM_MAX = 0.08
+REP_DUP_BIGRAM_MAX = 0.2
+
+
+def repetition_stats(
+    docs: DataFrame,
+    top_tok_max: float = REP_TOP_TOK_MAX,
+    top_bigram_max: float = REP_TOP_BIGRAM_MAX,
+    dup_bigram_max: float = REP_DUP_BIGRAM_MAX,
+) -> DataFrame:
+    """Within-document repetition signals + keep gate — the Gopher-class
+    quality rule dedup can't express (dedup compares ACROSS docs; a
+    machine-generated doc that repeats itself is unique corpus-wide but
+    still poison for training):
+
+      top_tok_frac     — occurrences of the most frequent token / tokens
+      dup_tok_frac     — (tokens - distinct tokens) / tokens
+      top_bigram_frac  — occurrences of the most frequent bigram / bigrams
+      dup_bigram_frac  — occurrences belonging to repeated bigrams / bigrams
+      keep             — all fractions under their thresholds
+
+    100 TB shape: two (doc_id, gram) hash-aggregates (map-side partial on
+    an exploded narrow projection — only (doc_id, gram) rides each
+    exchange, never text) rolled up per doc and joined on doc_id; bigram
+    windows come from the same in-codegen sliding slice as _shingles, kept
+    NON-distinct because repetition is the signal here. Docs with no
+    bigrams (fewer than 2 tokens) report zero bigram fractions."""
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    tok_counts = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_c"),
+    )
+    toks = F.col("toks")
+    windows = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        toked.select("doc_id", F.explode(windows).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bg"),
+        F.max("c").alias("max_bg"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup_bg"),
+    )
+    joined = tok_stats.join(bg_stats, "doc_id", "left")
+    top_tok = F.round(F.col("max_c") / F.col("n_tok"), 6)
+    dup_tok = F.round((F.col("n_tok") - F.col("n_distinct")) / F.col("n_tok"), 6)
+    top_bg = F.coalesce(F.round(F.col("max_bg") / F.col("n_bg"), 6), F.lit(0.0))
+    dup_bg = F.coalesce(F.round(F.col("dup_bg") / F.col("n_bg"), 6), F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        top_tok.alias("top_tok_frac"),
+        dup_tok.alias("dup_tok_frac"),
+        top_bg.alias("top_bigram_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("top_tok_frac") <= top_tok_max)
+        & (F.col("top_bigram_frac") <= top_bigram_max)
+        & (F.col("dup_bigram_frac") <= dup_bigram_max),
+    )
+
+
+def repetition_stats_sql(
+    top_tok_max: float = REP_TOP_TOK_MAX,
+    top_bigram_max: float = REP_TOP_BIGRAM_MAX,
+    dup_bigram_max: float = REP_DUP_BIGRAM_MAX,
+) -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    ts AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+                  max(c) AS max_c
+           FROM tc GROUP BY 1),
+    bg AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 1], ' ') AS b
+           FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 1))
+                            AS i) i),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS max_bg,
+                  COALESCE(sum(c) FILTER (c > 1), 0) AS dup_bg
+           FROM bc GROUP BY 1),
+    fr AS (
+      SELECT ts.doc_id,
+             round(max_c / n_tok, 6) AS top_tok_frac,
+             round((n_tok - n_distinct) / n_tok, 6) AS dup_tok_frac,
+             COALESCE(round(max_bg / n_bg, 6), 0.0) AS top_bigram_frac,
+             COALESCE(round(dup_bg / n_bg, 6), 0.0) AS dup_bigram_frac
+      FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+    )
+    SELECT doc_id, top_tok_frac, dup_tok_frac, top_bigram_frac,
+           dup_bigram_frac,
+           (top_tok_frac <= {top_tok_max}
+            AND top_bigram_frac <= {top_bigram_max}
+            AND dup_bigram_frac <= {dup_bigram_max}) AS keep
+    FROM fr
+    """

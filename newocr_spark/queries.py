@@ -381,6 +381,10 @@ def q_corpus_curation(spark, sf):  # composed pipeline: dedup -> lang -> quality
     return T.corpus_curation(load(spark, sf, "documents"))
 
 
+def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
+    return T.repetition_stats(load(spark, sf, "documents"))
+
+
 def q_pii_scrub(spark, sf):  # PII redaction over deterministically injected PII
     from .analytics import curation as C
 
@@ -515,6 +519,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "corpus_curation": q_corpus_curation,
+    "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -575,6 +580,7 @@ ORACLES = {
     "fingerprints": T.fingerprints_sql(),
     "token_counts": T.token_counts_sql(),
     "corpus_curation": T.corpus_curation_sql(),
+    "repetition_stats": T.repetition_stats_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
     # round-3 curation operators (analytics/curation.py)

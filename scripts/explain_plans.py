@@ -110,6 +110,25 @@ CHECKS = {
         "running-sum window",
         ["Window", "Exchange"],
     ),
+    "pack_manifest": (
+        "the (doc, sequence) fan-out is a Generate (explode of the "
+        "seq_id..end_seq_id range) directly above the same single-exchange "
+        "packing window — the manifest adds no shuffle",
+        ["Generate", "Window"],
+    ),
+    "repetition_stats": (
+        "two (doc_id, gram) hash-aggregates with map-side partials — only "
+        "(doc_id, gram) rides the exchanges, never text; per-doc rollup "
+        "joined on doc_id",
+        ["HashAggregate", "Exchange"],
+    ),
+    "ann_lsh": (
+        "multiprobe explodes probe buckets on the QUERY side only "
+        "(Generate); candidates come from an equi-join on (table, bucket) "
+        "— no cross product anywhere",
+        ["Generate", "ArrowEvalPython"],
+        ["CartesianProduct"],
+    ),
 }
 
 

@@ -129,3 +129,22 @@ def test_pack_sequences_empty_doc_occupies_one_sequence(spark):
     assert rows[2].n_tok == 0
     assert rows[2].n_seqs == 1
     assert rows[2].end_seq_id == rows[2].seq_id
+
+
+def test_repetition_stats_flags_self_repeating_doc(spark):
+    from newocr_spark.analytics.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 20),                                  # one token repeated
+            (2, " ".join(f"u{i}" for i in range(20))),          # all-unique
+            (3, "buy now " * 10),                               # repeated bigram
+            (4, "x"),                                           # single token: no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].top_tok_frac == 1.0 and not out[1].keep
+    assert out[2].dup_tok_frac == 0.0 and out[2].keep
+    assert out[3].top_bigram_frac > 0.4 and not out[3].keep
+    assert out[4].top_bigram_frac == 0.0 and out[4].dup_bigram_frac == 0.0
