@@ -197,12 +197,14 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     retry_budget = 12
 
     # BOTH cycles can land in one noise regime and agree on an inflated
-    # number — catch that against the previous round's recorded value
-    # (same sf only; regressions >3x on an unchanged plan are VM noise
-    # until proven otherwise, and if real they deserve the flag anyway).
-    prev_round, prev_sf, prev_q = _load_prev()
+    # number — catch that against the per-query WARM FLOOR (min across all
+    # recorded same-sf rounds and the last local run; a single prior round
+    # can itself be noise-inflated). Regressions >3x the floor on an
+    # unchanged plan are VM noise until proven otherwise, and if real they
+    # deserve the flag anyway.
     cur_sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    prev_ok = prev_q and str(prev_sf) == cur_sf
+    prev_q = _warm_floor(cur_sf)
+    prev_ok = bool(prev_q)
 
     def _agreed(obs) -> bool:
         lo = min(obs)
@@ -294,9 +296,64 @@ def _load_prev() -> tuple:
             data = json.load(f)
         # the driver wraps the bench line under "parsed"
         inner = data.get("parsed") or data
-        return n, inner.get("sf"), inner.get("queries", {})
+        q = inner.get("queries")
+        sf = inner.get("sf", data.get("sf"))
+        if not q:
+            # The driver records only the LAST 2000 chars of stdout; when a
+            # round's JSON line outgrew that window (r03 did), parsed is
+            # null and the tail starts mid-queries. Recover the per-query
+            # floats from the tail, stopping before the ocr/web/noise/
+            # vs_prev sections whose floats would masquerade as timings.
+            tail = data.get("tail") or ""
+            for marker in ('"ocr"', '"web"', '"noise"', '"vs_prev"'):
+                cut = tail.find(marker)
+                if cut != -1:
+                    tail = tail[:cut]
+            q = {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z_0-9]+)":\s*([0-9]+\.[0-9]+)', tail)
+            }
+            q.pop("value", None)
+            q.pop("sf", None)
+        return n, sf, q or {}
     except Exception:
         return None, None, {}
+
+
+def _warm_floor(cur_sf: str) -> dict:
+    """Per-query minimum across every recorded same-sf source: all
+    BENCH_r{N}.json rounds (parsed or tail-recovered) plus the last local
+    full run. The floor is the best warm estimate of what each query
+    really costs; the regression guard measures against it."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    floor: dict[str, float] = {}
+
+    def fold(sf, q) -> None:
+        if str(sf) != cur_sf or not q:
+            return
+        for k, v in q.items():
+            if isinstance(v, (int, float)) and v > 0:
+                floor[k] = min(floor.get(k, v), v)
+
+    _, sf, q = _load_prev()
+    fold(sf, q)
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            inner = data.get("parsed") or data
+            fold(inner.get("sf", data.get("sf")), inner.get("queries", {}))
+        except Exception:
+            continue
+    try:
+        with open(os.path.join(here, "BENCH_last_run.json")) as f:
+            last = json.load(f)
+        fold(last.get("sf"), last.get("queries", {}))
+    except Exception:
+        pass
+    return floor
 
 
 def _vs_prev(timings: dict[str, float]) -> dict:
@@ -318,7 +375,28 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+    # Full artifact on disk; stdout stays ONE line that FITS the driver's
+    # 2000-char tail capture — r03's line outgrew it (vs_prev ratios for
+    # every query) and the driver recorded parsed=null, losing the
+    # structured numbers. Trim the optional sections until it fits.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(result)
+    ratios = result.get("vs_prev", {}).get("ratios")
+    if len(line) > 1900 and ratios:
+        result["vs_prev"]["ratios"] = {
+            k: v for k, v in ratios.items() if v >= 1.3 or v <= 0.77
+        }
+        result["vs_prev"]["note"] = "full ratio set in BENCH_last_run.json"
+        line = json.dumps(result)
+    if len(line) > 1950:
+        result.pop("vs_prev", None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

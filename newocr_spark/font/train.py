@@ -104,9 +104,15 @@ class _Trained:
             self.min_center = min(self.min_center, c)
 
 
-def train_font(config: FontConfig | None = None, face=None) -> FontModel:
+def train_font(
+    config: FontConfig | None = None, face=None, _sightings: list | None = None
+) -> FontModel:
     """Render the training image and train — OCRTrain.trainImage walk.
-    `face` (glyphs.FontFace) selects the font; config.name defaults to it."""
+    `face` (glyphs.FontFace) selects the font; config.name defaults to it.
+    `_sightings`, when a list, additionally collects one record per trained
+    sighting in recording order (the per-character history the reference
+    keeps as `recalculatingList`) — see `train_sightings` /
+    `undo_recalculations` (§2 T4)."""
     from .glyphs import DEFAULT_FACE
 
     face = face or DEFAULT_FACE
@@ -158,6 +164,20 @@ def train_font(config: FontConfig | None = None, face=None) -> FontModel:
             elif letter_index == L:  # last W: record the space (:180-184)
                 trained[(" ", 0)].widths.append(float(sc.x - before_space_x))
                 trained[(" ", 0)].heights.append(float(bottom - top))
+                if _sightings is not None:
+                    _sightings.append(
+                        {
+                            "letter": " ",
+                            "modifier": 0,
+                            "seq": len(trained[(" ", 0)].widths) - 1,
+                            # the space trains no feature vector; its model
+                            # row is all-zero segments (see finish below)
+                            "segments": [0.0] * 17,
+                            "width": float(sc.x - before_space_x),
+                            "height": float(bottom - top),
+                            "center_off": 0.0,
+                        }
+                    )
                 letter_index = 0
                 continue
 
@@ -179,6 +199,19 @@ def train_font(config: FontConfig | None = None, face=None) -> FontModel:
             t.vectors.append(sc.extras["features"])
             t.widths.append(float(sc.width))
             t.heights.append(float(sc.height))
+            if _sightings is not None:
+                half_line_ = (bottom - top) / 2.0
+                _sightings.append(
+                    {
+                        "letter": current,
+                        "modifier": int(modifier),
+                        "seq": len(t.vectors) - 1,
+                        "segments": [float(x) for x in sc.extras["features"]],
+                        "width": float(sc.width),
+                        "height": float(sc.height),
+                        "center_off": float(half_line_ - (sc.y - top)),
+                    }
+                )
 
             font_sizes.setdefault((current, modifier), []).append(
                 current_font_size / sc.height
@@ -231,4 +264,75 @@ def train_font(config: FontConfig | None = None, face=None) -> FontModel:
         custom_spaces={c: float(np.mean(v)) for c, v in custom_spaces.items()},
         font_size_ratios={k: float(np.mean(v)) for k, v in font_sizes.items()},
         config=config,
+    )
+
+
+def train_sightings(spark, config: FontConfig | None = None, face=None):
+    """Per-sighting training history as a DataFrame — the distributed
+    analogue of the reference's per-character `recalculatingList`
+    (TrainedCharacterData keeps every recorded width/height/segment sample
+    precisely so recalculations can be undone; here the history is a
+    table, so undo is a filter + re-aggregate instead of mutation).
+
+    Schema: (letter, modifier, seq, segments array<double>[17], width,
+    height, center_off) with `seq` the per-(letter, modifier) recording
+    order."""
+    rows: list[dict] = []
+    train_font(config, face, _sightings=rows)
+    return spark.createDataFrame(
+        rows,
+        "letter string, modifier int, seq int, segments array<double>, "
+        "width double, height double, center_off double",
+    )
+
+
+def undo_recalculations(sightings, k: int = 1):
+    """§2 T4 — `TrainedCharacterData.undoLastRecalculations(k)`
+    (src/main/java/com/uddernetworks/newocr/character/
+    TrainedCharacterData.java:147-163): drop each trained character's last
+    k recorded sightings and re-derive its averaged model row. The
+    reference mutates its in-memory recalculatingList then re-averages;
+    the Spark expression of the same semantics is immutable — one window
+    filter (row_number over seq DESC > k) and one re-aggregate, which also
+    recovers min/max center exactly (the reference's running min/max
+    cannot be un-done without the history; the history IS our input).
+
+    Returns model-shaped rows: (letter, modifier, segments[17], avg_width,
+    avg_height, min_center, max_center, n_sightings). Characters with
+    every sighting undone drop out (the reference's `hasPreparedData()`
+    false state)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("letter", "modifier").orderBy(F.desc("seq"))
+    kept = (
+        sightings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > k)
+        .drop("rn")
+    )
+    per_pos = kept.select(
+        "letter", "modifier", F.posexplode("segments").alias("pos", "val")
+    )
+    segs = (
+        per_pos.groupBy("letter", "modifier", "pos")
+        .agg(F.avg("val").alias("avg"))
+        .groupBy("letter", "modifier")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa")
+        )
+        .select(
+            "letter", "modifier",
+            F.transform("pa", lambda s: s.avg).alias("segments"),
+        )
+    )
+    stats = kept.groupBy("letter", "modifier").agg(
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+        F.min("center_off").alias("min_center"),
+        F.max("center_off").alias("max_center"),
+        F.count("*").alias("n_sightings"),
+    )
+    return stats.join(segs, ["letter", "modifier"]).select(
+        "letter", "modifier", "segments", "avg_width", "avg_height",
+        "min_center", "max_center", "n_sightings",
     )
