@@ -16,6 +16,8 @@ documented in analytics/curation.py / analytics/dedup.py):
     → drop the benchmark slice itself AND training docs contaminated by
       it (broadcast shingle semi-join) — eval docs must never reach the
       packed training output
+    → drop self-repeating docs (Gopher-style repetition gate; the rule
+      cross-doc dedup can't express)
     → PII scrub (narrow JVM regexp map)
     → per-language stratified sample (hash-bucket filter, no RNG state)
     → pack into fixed-budget training sequences (one shuffle by shard,
@@ -47,6 +49,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--min-overlap", type=int, default=3)
     p.add_argument("--seq-budget", type=int, default=2048)
     p.add_argument("--shards", type=int, default=4096)
+    p.add_argument("--no-repetition-gate", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     args = p.parse_args(argv)
 
@@ -86,6 +89,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         kept = kept.filter(
             F.pmod(F.col("doc_id"), F.lit(args.benchmark_mod)) != 0
         ).join(contaminated, "doc_id", "left_anti")
+
+    # 2b. within-doc repetition gate (Gopher-style): a self-repeating doc
+    # is unique corpus-wide, so no dedup stage can catch it
+    if not args.no_repetition_gate:
+        from newocr_spark.analytics.textstats import repetition_stats
+
+        reps = repetition_stats(kept).filter(~F.col("keep")).select("doc_id")
+        kept = kept.join(reps, "doc_id", "left_anti")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

@@ -266,3 +266,48 @@ def stream_assemble(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    documents_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ingested_at",
+    schema=None,
+    trigger_once: bool = True,
+):
+    """Continuous exact dedup at ingestion: emit each document CONTENT
+    (md5 of text) once within the watermark horizon — the streaming
+    analogue of `analytics/dedup.exact_duplicates` for pipelines that
+    dedup as data lands instead of in a batch pass.
+
+    `dropDuplicatesWithinWatermark` keys state on the content hash and
+    EVICTS an entry once the watermark passes its event time — bounded
+    state on an unbounded stream, where a plain `dropDuplicates` would
+    grow state forever. A duplicate arriving within the horizon is
+    suppressed; a re-crawl after the horizon re-emits and the downstream
+    batch dedup catches it. At 100 TB the horizon is the policy knob:
+    state ≈ distinct hashes per horizon × ~16 bytes, partitioned by hash
+    across executors. Expects rows carrying a `ts_col` event-time column
+    (ingestion sinks stamp one)."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(documents_path).schema
+    stream = spark.readStream.schema(schema).parquet(documents_path)
+    deduped = (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

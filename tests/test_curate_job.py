@@ -59,6 +59,14 @@ def test_curate_job_benchmark_mod_zero_bypasses_decontamination(spark, tmp_path)
     assert df.filter(F.pmod(F.col("doc_id"), F.lit(53)) == 0).count() > 0
 
 
+def test_curate_job_repetition_gate_drops_docs(spark, tmp_path):
+    n_gated, _ = _run(spark, tmp_path, "gated")
+    n_open, _ = _run(spark, tmp_path, "open", "--no-repetition-gate")
+    # the gate thresholds are set so the synthetic corpus loses a
+    # non-trivial slice (~20% exceed a fraction threshold)
+    assert n_open > n_gated > 0
+
+
 def test_curate_job_deterministic_across_runs(spark, tmp_path):
     _, out_a = _run(spark, tmp_path, "run_a")
     _, out_b = _run(spark, tmp_path, "run_b")

@@ -418,3 +418,43 @@ def test_stream_assemble_stateful_session_gap(spark, tmp_path):
     assert got["d0"].text == "alpha beta\n\ndelta"
     assert got["d1"].n_spans == 2 and got["d1"].n_media == 0
     assert got["d1"].text == "gamma\n\nepsilon zeta"
+
+
+def test_stream_dedup_exact_suppresses_within_watermark(spark, tmp_path):
+    """Cross-micro-batch content dedup with bounded state: a duplicate
+    text arriving in a later file is suppressed; distinct texts all pass."""
+    import datetime
+
+    from newocr_spark.pipeline.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id bigint, text string, ingested_at timestamp"
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    drop([(1, "alpha beta", t0), (2, "gamma delta", t0)], "a")
+    q = stream_dedup_exact(spark, src, out, ckpt, watermark_delay="10 minutes")
+    q.awaitTermination(120)
+
+    # second drain restarts from the checkpoint: the dedup state SURVIVES
+    # the restart, so the cross-run duplicate is suppressed
+    drop(
+        [
+            (3, "alpha beta", t0 + datetime.timedelta(seconds=30)),  # dup of 1
+            (4, "epsilon zeta", t0 + datetime.timedelta(seconds=30)),
+        ],
+        "b",
+    )
+    q = stream_dedup_exact(spark, src, out, ckpt, watermark_delay="10 minutes")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.text for r in got) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # the duplicate was suppressed, not re-emitted: doc 1 won, doc 3 absent
+    assert sorted(r.doc_id for r in got) == [1, 2, 4]
