@@ -38,7 +38,7 @@ BENCH_QUERIES = (
     "repetition_stats",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest",
-    "embed_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
+    "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
 )
 
 

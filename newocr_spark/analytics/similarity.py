@@ -10,6 +10,10 @@ pandas UDF), candidates only within matching buckets, exact re-rank on the
 candidates. At 100 TB the bucket join replaces the full crossJoin; recall
 is tunable via n_planes/n_tables.
 
+lsh_neardup_pairs — the PAIRS scale path (the all-pairs analogue of
+lsh_ann_topk): bucketed candidate generation + exact verify; precision
+1.0 by construction, recall tuned by n_tables.
+
 ivf_ann_topk — the other classic scale path: IVF (inverted-file) coarse
 quantization. Centroids come from a deterministic sampled k-means
 (Lloyd iterations in numpy on driver-collected sample — the sample is tiny,
@@ -150,11 +154,10 @@ def embedding_neardup_pairs(
     EXACTLY on a rounding/threshold boundary — tests/test_edge_cases.py
     pins the emulation on exact-representable ties; for corpora where a
     boundary tie is plausible, compare with a half-ulp tolerance first.
-    At 100 TB this becomes the banded-LSH shape of lsh_ann_topk
-    (hyperplane buckets -> equi-join -> exact verify on candidates only);
-    the exact variant exists to verify that path and as the small-corpus
-    tool — the quadratic guard keeps the broadcast side bounded by
-    construction.
+    At 100 TB use `lsh_neardup_pairs` (the banded-LSH shape: hyperplane
+    buckets -> equi-join -> exact verify on candidates only); the exact
+    variant exists to verify that path and as the small-corpus tool — the
+    quadratic guard keeps the broadcast side bounded by construction.
 
     NOTE this constructor is EAGER: it collects the guarded corpus to the
     driver and creates a broadcast at DataFrame-construction time (not at
@@ -163,7 +166,7 @@ def embedding_neardup_pairs(
     (call .unpersist()/destroy() on long-lived sessions that loop)."""
     guard_quadratic(
         embeddings, max_rows,
-        "embedding_neardup_pairs", "lsh_ann_topk / ivf_ann_topk",
+        "embedding_neardup_pairs", "lsh_neardup_pairs",
     )
     spark = embeddings.sparkSession
     side = embeddings.select("vec_id", "embedding").toPandas()
@@ -455,4 +458,65 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank"),
         cent_b,
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale — the banded-LSH shape the
+    exact `embedding_neardup_pairs` baseline documents as its 100 TB
+    path, now implemented: random-hyperplane buckets → per-(table, bucket)
+    equi-self-join for candidates → exact cosine verify on candidates
+    only. Output (vec_a < vec_b, cosine >= threshold) is a high-recall
+    SUBSET of the exact operator's pairs (every emitted pair is exactly
+    verified — precision 1.0; recall is the bucketing's collision
+    probability, 1-(1-p^planes)^tables with p = 1 - theta/pi, tuned via
+    n_tables: corpus rows scale linearly with tables, bucket sizes
+    shrink geometrically with planes).
+
+    100 TB shape vs the quadratic baseline: no broadcast of the corpus,
+    no all-pairs kernel — the only wide steps are the (table, bucket)
+    self-join (bounded by bucket size) and the id-pair dedup; full
+    vectors rejoin only for the verified-candidate re-rank, so they never
+    ride the candidate exchanges. tests/test_ann_recall.py pins pair
+    recall vs the exact baseline."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select("embedding").first()[0])
+    planes_b = spark.sparkContext.broadcast(
+        _hyperplanes(dim, n_planes * n_tables, seed).reshape(n_tables, n_planes, dim)
+    )
+
+    @F.pandas_udf("array<long>")
+    def buckets_of(emb: pd.Series) -> pd.Series:
+        planes = planes_b.value
+        mat = np.stack(emb.to_numpy())
+        signs = np.einsum("bd,tpd->btp", mat, planes) > 0
+        powers = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        return pd.Series(list((signs @ powers).astype(np.int64)))
+
+    bucketed = _spread(embeddings).select(
+        "vec_id", F.posexplode(buckets_of("embedding")).alias("table", "bucket")
+    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # union over tables: verify each pair once
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return _attach_broadcasts(
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine"),
+        planes_b,
     )

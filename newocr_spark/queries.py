@@ -432,6 +432,13 @@ def q_ann_lsh(spark, sf):  # Spark-only scale path (rows-only check)
     return S.lsh_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def q_embed_lsh_neardup(spark, sf):  # scale path for embed_neardup
+    # (rows-only: bucketing is seed-dependent; precision 1.0 by
+    # construction — every emitted pair is exactly verified; recall floor
+    # pinned in tests/test_ann_recall.py)
+    return S.lsh_neardup_pairs(load(spark, sf, "embeddings"), threshold=0.4)
+
+
 def q_ann_ivf(spark, sf):  # Spark-only scale path (rows-only check)
     return S.ivf_ann_topk(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
@@ -529,6 +536,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "embed_lsh_neardup": q_embed_lsh_neardup,
     "ann_recall": q_ann_recall,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,

@@ -129,6 +129,13 @@ CHECKS = {
         ["Generate", "ArrowEvalPython"],
         ["CartesianProduct"],
     ),
+    "embed_lsh_neardup": (
+        "pairs scale path: (table, bucket) equi-self-join for candidates, "
+        "id-only dedup, vectors rejoin only for the exact verify — no "
+        "cross product, no corpus broadcast kernel",
+        ["ArrowEvalPython", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

@@ -166,3 +166,28 @@ def test_ngram_jaccard_strategies_agree(spark):
     assert (bm["doc_a"].to_numpy() == jn["doc_a"].to_numpy()).all()
     assert (bm["doc_b"].to_numpy() == jn["doc_b"].to_numpy()).all()
     assert (bm["jaccard"].to_numpy() == jn["jaccard"].to_numpy()).all()
+
+
+def test_lsh_neardup_pairs_recall_and_precision(spark, embeddings):
+    """The banded-LSH pairs scale path vs the exact quadratic baseline at
+    threshold 0.4: precision must be EXACTLY 1.0 (every emitted pair is
+    exactly verified — a false positive would be a bug, not a tuning
+    artifact); recall is the bucketing's collision probability (measured
+    0.77 / 0.94 / 0.99 at 8/16/24 tables, seed 42) — floor 0.85 at the
+    16-table default."""
+    from newocr_spark.analytics.similarity import (
+        embedding_neardup_pairs, lsh_neardup_pairs,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(embeddings, threshold=0.4).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in lsh_neardup_pairs(embeddings, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)  # precision 1.0
+    assert len(got) / len(exact) >= 0.85
+    for pair, cos in got.items():
+        assert cos == exact[pair]  # the verify IS the exact formula
