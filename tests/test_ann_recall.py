@@ -148,7 +148,7 @@ def test_quadratic_guard_embeddings(spark, embeddings):
     from newocr_spark.analytics.dedup import QuadraticScaleError
     from newocr_spark.analytics.similarity import embedding_neardup_pairs
 
-    with pytest.raises(QuadraticScaleError, match="lsh_ann_topk"):
+    with pytest.raises(QuadraticScaleError, match="lsh_neardup_pairs"):
         embedding_neardup_pairs(embeddings, max_rows=10).count()
 
 
