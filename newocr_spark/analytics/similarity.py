@@ -483,8 +483,13 @@ def lsh_neardup_pairs(
     no all-pairs kernel — the only wide steps are the (table, bucket)
     self-join (bounded by bucket size) and the id-pair dedup; full
     vectors rejoin only for the verified-candidate re-rank, so they never
-    ride the candidate exchanges. tests/test_ann_recall.py pins pair
-    recall vs the exact baseline."""
+    ride the candidate exchanges. The self-join deliberately re-evaluates
+    the bucketing UDF on both branches (one extra einsum pass, measured
+    <2x on a cheap map) instead of collect_list-ing each bucket's ids and
+    exploding pairs in one task: a sort-merge self-join STREAMS a hot
+    bucket's B^2 candidate fanout, while a buffered id-list concentrates
+    it in a single task's memory — the skew-robust plan wins at scale.
+    tests/test_ann_recall.py pins pair recall vs the exact baseline."""
     spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
     planes_b = spark.sparkContext.broadcast(
