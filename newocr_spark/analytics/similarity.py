@@ -525,3 +525,35 @@ def lsh_neardup_pairs(
         .select("vec_a", "vec_b", "cosine"),
         planes_b,
     )
+
+
+def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Corpus-level recall/precision of the banded-LSH near-dup pairs path
+    against the exact quadratic baseline, surfaced in the DRIVER artifact
+    every round (the pairs analogue of `ann_recall`; pytest floors live in
+    tests/test_ann_recall.py). One output row:
+    (method, n_exact, n_approx, n_hit, recall, precision).
+
+    Computed Spark-side with id-only joins: the exact pair set is bounded
+    (guarded baseline at contract scale), the LSH set joins against it on
+    (vec_a, vec_b) — vectors never move."""
+    exact = embedding_neardup_pairs(embeddings, threshold=threshold).select(
+        "vec_a", "vec_b"
+    ).localCheckpoint()  # small pair list; evaluated once
+    approx = lsh_neardup_pairs(embeddings, threshold=threshold).select(
+        "vec_a", "vec_b"
+    ).localCheckpoint()
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_hit = approx.join(exact, ["vec_a", "vec_b"], "left_semi").count()
+    spark = embeddings.sparkSession
+    row = [(
+        "lsh_pairs", n_exact, n_approx, n_hit,
+        round(n_hit / n_exact, 4) if n_exact else 1.0,
+        round(n_hit / n_approx, 4) if n_approx else 1.0,
+    )]
+    return spark.createDataFrame(
+        row,
+        "method string, n_exact long, n_approx long, n_hit long, "
+        "recall double, precision double",
+    )

@@ -447,6 +447,10 @@ def q_ann_recall(spark, sf):  # rows-only: ANN quality surfaced per round
     return S.ann_recall(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def q_neardup_recall(spark, sf):  # rows-only: pairs-path quality per round
+    return S.neardup_recall(load(spark, sf, "embeddings"), threshold=0.4)
+
+
 def _fixture_media(spark, sf, n=40):
     from .artifacts import get_model
     from .fixtures import corpus_fixture_tables
@@ -538,6 +542,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embed_lsh_neardup": q_embed_lsh_neardup,
     "ann_recall": q_ann_recall,
+    "neardup_recall": q_neardup_recall,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,

@@ -191,3 +191,19 @@ def test_lsh_neardup_pairs_recall_and_precision(spark, embeddings):
     assert len(got) / len(exact) >= 0.85
     for pair, cos in got.items():
         assert cos == exact[pair]  # the verify IS the exact formula
+
+
+def test_neardup_recall_query_agrees_with_harness(spark, embeddings):
+    """The rows-only contract query neardup_recall must report the same
+    corpus-level recall/precision the pytest harness computes."""
+    from newocr_spark.analytics.similarity import (
+        embedding_neardup_pairs, lsh_neardup_pairs, neardup_recall,
+    )
+
+    row = neardup_recall(embeddings, threshold=0.4).collect()[0]
+    exact = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(embeddings, threshold=0.4).collect()}
+    got = {(r.vec_a, r.vec_b) for r in lsh_neardup_pairs(embeddings, threshold=0.4).collect()}
+    assert row.n_exact == len(exact) and row.n_approx == len(got)
+    assert row.n_hit == len(got & exact)
+    assert row.precision == 1.0
+    assert row.recall >= 0.85
