@@ -537,15 +537,24 @@ def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     Computed Spark-side with id-only joins: the exact pair set is bounded
     (guarded baseline at contract scale), the LSH set joins against it on
     (vec_a, vec_b) — vectors never move."""
-    exact = embedding_neardup_pairs(embeddings, threshold=threshold).select(
-        "vec_a", "vec_b"
-    ).localCheckpoint()  # small pair list; evaluated once
-    approx = lsh_neardup_pairs(embeddings, threshold=threshold).select(
-        "vec_a", "vec_b"
-    ).localCheckpoint()
+    exact_full = embedding_neardup_pairs(embeddings, threshold=threshold)
+    approx_full = lsh_neardup_pairs(embeddings, threshold=threshold)
+    # capture the sub-operators' broadcasts BEFORE .select() strips the
+    # _newocr_broadcasts attribute; both frames are fully materialized by
+    # the eager localCheckpoints below, so the corpus matrix and the LSH
+    # planes can be destroyed here instead of waiting for context GC
+    # (this query runs every round in a long-lived driver)
+    bcs = (
+        *getattr(exact_full, "_newocr_broadcasts", ()),
+        *getattr(approx_full, "_newocr_broadcasts", ()),
+    )
+    exact = exact_full.select("vec_a", "vec_b").localCheckpoint()
+    approx = approx_full.select("vec_a", "vec_b").localCheckpoint()
     n_exact = exact.count()
     n_approx = approx.count()
     n_hit = approx.join(exact, ["vec_a", "vec_b"], "left_semi").count()
+    for bc in bcs:
+        bc.destroy()
     spark = embeddings.sparkSession
     row = [(
         "lsh_pairs", n_exact, n_approx, n_hit,

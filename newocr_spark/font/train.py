@@ -201,14 +201,20 @@ def train_font(
             t.heights.append(float(sc.height))
             if _sightings is not None:
                 half_line_ = (bottom - top) / 2.0
+                # recalculateTo(SearchCharacter) appends width/height ONLY
+                # when both are non-zero (TrainedCharacterData.java:136-139)
+                # while the segment list always grows — record zero-dim
+                # sightings as NULL width/height so undo can pop the three
+                # lists independently, exactly like undoLastRecalculations
+                has_wh = sc.width != 0 and sc.height != 0
                 _sightings.append(
                     {
                         "letter": current,
                         "modifier": int(modifier),
                         "seq": len(t.vectors) - 1,
                         "segments": [float(x) for x in sc.extras["features"]],
-                        "width": float(sc.width),
-                        "height": float(sc.height),
+                        "width": float(sc.width) if has_wh else None,
+                        "height": float(sc.height) if has_wh else None,
                         "center_off": float(half_line_ - (sc.y - top)),
                     }
                 )
@@ -297,6 +303,16 @@ def undo_recalculations(sightings, k: int = 1):
     recovers min/max center exactly (the reference's running min/max
     cannot be un-done without the history; the history IS our input).
 
+    The reference pops its THREE lists independently — segments always
+    grow per sighting, widths/heights only for non-zero-dim sightings
+    (recalculateTo appends them conditionally, TrainedCharacterData.java
+    :136-139; undoLastRecalculations:147-163 removeLast()s each list on
+    its own length). Mirrored here: the segment/center window ranks ALL
+    sightings, the width/height window ranks only rows whose width is
+    non-NULL (the conditional append), so a zero-dim sighting undoes
+    exactly as the reference would. Averages over an emptied width list
+    are 0.0 (finishRecalculations' orElse(0D)).
+
     Returns model-shaped rows: (letter, modifier, segments[17], avg_width,
     avg_height, min_center, max_center, n_sightings). Characters with
     every sighting undone drop out (the reference's `hasPreparedData()`
@@ -307,6 +323,12 @@ def undo_recalculations(sightings, k: int = 1):
     w = Window.partitionBy("letter", "modifier").orderBy(F.desc("seq"))
     kept = (
         sightings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > k)
+        .drop("rn")
+    )
+    kept_wh = (
+        sightings.filter(F.col("width").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > k)
         .drop("rn")
     )
@@ -326,13 +348,21 @@ def undo_recalculations(sightings, k: int = 1):
         )
     )
     stats = kept.groupBy("letter", "modifier").agg(
-        F.avg("width").alias("avg_width"),
-        F.avg("height").alias("avg_height"),
         F.min("center_off").alias("min_center"),
         F.max("center_off").alias("max_center"),
         F.count("*").alias("n_sightings"),
     )
-    return stats.join(segs, ["letter", "modifier"]).select(
-        "letter", "modifier", "segments", "avg_width", "avg_height",
-        "min_center", "max_center", "n_sightings",
+    wh_stats = kept_wh.groupBy("letter", "modifier").agg(
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+    )
+    return (
+        stats.join(wh_stats, ["letter", "modifier"], "left")
+        .join(segs, ["letter", "modifier"])
+        .select(
+            "letter", "modifier", "segments",
+            F.coalesce("avg_width", F.lit(0.0)).alias("avg_width"),
+            F.coalesce("avg_height", F.lit(0.0)).alias("avg_height"),
+            "min_center", "max_center", "n_sightings",
+        )
     )

@@ -169,9 +169,14 @@ class SqliteStateStore(StateStore):
         return conn
 
     def read(self) -> DataFrame:
+        import contextlib
         import datetime
 
-        with self._conn() as conn:
+        # closing() + the connection's own context manager: sqlite3
+        # connections commit on __exit__ but never close — without the
+        # closing() wrapper every read/append leaked an open file handle
+        # for the life of the process
+        with contextlib.closing(self._conn()) as conn, conn:
             rows = conn.execute(
                 f"SELECT {', '.join(self._COLS)} FROM state"
             ).fetchall()
@@ -184,13 +189,15 @@ class SqliteStateStore(StateStore):
         return self.spark.createDataFrame(recs, STATE_SCHEMA)
 
     def append(self, rows: list[dict]) -> None:
+        import contextlib
+
         if not rows:
             return
         sql = (
             f"INSERT INTO state ({', '.join(self._COLS)}) "
             f"VALUES ({', '.join('?' * len(self._COLS))})"
         )
-        with self._conn() as conn:
+        with contextlib.closing(self._conn()) as conn, conn:
             conn.executemany(
                 sql,
                 [

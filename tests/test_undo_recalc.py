@@ -57,6 +57,39 @@ def test_undo_k_matches_numpy_recompute(spark, sightings):
     assert checked > 50  # the trained alphabet, not a toy subset
 
 
+def test_undo_pops_width_list_independently(spark):
+    """The reference appends width/height only for non-zero-dim sightings
+    (recalculateTo, TrainedCharacterData.java:136-139) and undo pops each
+    of the three lists on its own length (:147-163). A zero-dim sighting
+    (NULL width/height in the history table) therefore shifts the
+    width-undo window relative to the segment window: undo(2) over
+    segments [s0 s1 s2 s3] keeps {s0, s1}, but over widths [w0 w1 w3]
+    (w2 never recorded) keeps only {w0}."""
+    rows = [
+        {"letter": "a", "modifier": 0, "seq": s,
+         "segments": [float(s)] * 17,
+         "width": None if s == 2 else 10.0 + s,
+         "height": None if s == 2 else 20.0 + s,
+         "center_off": float(s)}
+        for s in range(4)
+    ]
+    sightings = spark.createDataFrame(
+        rows,
+        "letter string, modifier int, seq int, segments array<double>, "
+        "width double, height double, center_off double",
+    )
+    r = _rows(undo_recalculations(sightings, k=2))[("a", 0)]
+    assert r.n_sightings == 2  # segments list: s0, s1 survive
+    assert np.allclose(r.segments, [0.5] * 17)
+    assert r.avg_width == 10.0 and r.avg_height == 20.0  # width list: only w0
+    assert r.min_center == 0.0 and r.max_center == 1.0
+    # undo(3) empties the width list but not the segment list: averages
+    # fall back to finishRecalculations' orElse(0D)
+    r3 = _rows(undo_recalculations(sightings, k=3))[("a", 0)]
+    assert r3.n_sightings == 1
+    assert r3.avg_width == 0.0 and r3.avg_height == 0.0
+
+
 def test_sightings_collection_does_not_change_training(spark, font_model):
     rows = []
     model2 = train_font(_sightings=rows)
