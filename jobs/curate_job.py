@@ -11,7 +11,11 @@ Pipeline (each stage is the registered contract operator, so the whole
 job is declarative where the operator is, and shapes are the 100 TB ones
 documented in analytics/curation.py / analytics/dedup.py):
 
-  near-dup cluster resolution (MinHash-LSH → connected components)
+  near-dup cluster resolution (MinHash-LSH → connected components;
+      exact duplicates are collapsed by content hash BEFORE banding, so
+      boilerplate-heavy crawls — 30-50% exact copies — never produce
+      B^2 band candidates; --max-bucket-size additionally sidelines
+      pathological buckets of distinct texts)
     → keep one doc per cluster (doc_id == cluster_id), all singletons
     → drop the benchmark slice itself AND training docs contaminated by
       it (broadcast shingle semi-join) — eval docs must never reach the
@@ -44,6 +48,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--documents", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--dedup-threshold", type=float, default=0.5)
+    p.add_argument("--max-bucket-size", type=int, default=None)
     p.add_argument("--benchmark-mod", type=int, default=53)
     p.add_argument("--decon-n", type=int, default=8)
     p.add_argument("--min-overlap", type=int, default=3)
@@ -68,7 +73,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     docs = spark.read.parquet(args.documents)
 
     # 1. near-dup clusters: drop every clustered doc except its canonical
-    clusters = dup_clusters(docs, threshold=args.dedup_threshold)
+    clusters = dup_clusters(
+        docs,
+        threshold=args.dedup_threshold,
+        max_bucket_size=args.max_bucket_size,
+    )
     drop_dups = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

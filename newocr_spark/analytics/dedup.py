@@ -323,35 +323,105 @@ def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _signatures_from(sh: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → N_MINHASH minhash values (min over shingles of
-    salted h60)."""
-    aggs = [
-        F.min(_h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _exact_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, canon) exact-duplicate map: canon is the minimum doc_id of
+    the doc's md5(text) group. One hash-aggregate + one equi-join on the
+    32-char hash — text itself never rides either exchange."""
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    canon = h.groupBy("th").agg(F.min("doc_id").alias("canon"))
+    return h.join(canon, "th").select("doc_id", "canon")
 
 
-def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
-    """doc_id → N_MINHASH minhash values (min over shingles of salted h60)."""
-    return _signatures_from(_shingles(docs, n))
+def _rep_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Banded-LSH near-dup machinery over exact-duplicate CANONICAL
+    REPRESENTATIVES only — the hot-bucket fix for duplicate-heavy corpora.
+
+    Real crawls are 30-50% exact/near-exact copies, and exact copies share
+    ALL band signatures: B copies of one boilerplate page put B rows in
+    every one of their buckets, so banding raw docs generates B^2/2
+    candidate pairs per band — the job that never finishes at 100 TB.
+    Collapsing by md5(text) first makes those B rows ONE row; candidate
+    volume becomes quadratic in the number of DISTINCT near-dup texts per
+    bucket, which banding keeps small by construction.
+
+    Returns (groups, rep_pairs, rep_shingled):
+      groups       — (doc_id, canon) exact-dup map over the full corpus
+      rep_pairs    — verified (doc_a < doc_b, jaccard) over canonical reps
+      rep_shingled — (doc_id,) reps with >= 1 shingle (docs shorter than n
+                     tokens produce no signature and can never pair — the
+                     expansion back to members must respect that)
+
+    max_bucket_size (opt-in) additionally sidelines band buckets larger
+    than the bound from the candidate join, logging how many were dropped.
+    Post-collapse, an oversized bucket can only be DISTINCT texts that
+    still agree on a band — at sane bucket bounds that is a pathological
+    corpus (or an adversarial one), and the sideline turns an
+    O(bucket^2) stall into a logged, bounded loss of recall.
+
+    The 4th element is the CACHED shingle frame backing rep_pairs and
+    rep_shingled — eager consumers (dup_clusters) unpersist it once both
+    are materialized; lazy ones (minhash_lsh_pairs) leave it to the
+    cache's LRU."""
+    groups, sh, cands = _rep_candidates(docs, n, max_bucket_size)
+    rep_pairs = _verify_pairs(cands, sh, threshold)
+    rep_shingled = sh.select("doc_id").distinct()
+    return groups, rep_pairs, rep_shingled, sh
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
-    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
-
-    shingle → minhash → band → bucket equi-join → verify; the classic
-    scale path (banding keeps the join equi and bounded).
-
-    Plan notes: ONE shingle frame is computed and shared by the signature
-    and verify stages (it previously evaluated twice), and the per-band
-    rows come from a single explode over one signature pass — the old
-    per-band self-union re-ran the whole shingle+minhash pipeline
-    N_BANDS times."""
-    rows_per_band = N_MINHASH // N_BANDS
-    sh = _shingles(docs, n).cache()
+def _rep_candidates(
+    docs: DataFrame, n: int = 2, max_bucket_size: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(groups, rep-shingle frame, candidate pairs) over canonical reps —
+    split from `_rep_pairs` so tests can count CANDIDATE volume directly
+    (the quantity the exact-dup collapse exists to bound)."""
+    groups = _exact_groups(docs)
+    reps = docs.join(
+        groups.filter(F.col("doc_id") == F.col("canon")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sh = _shingles(reps, n).cache()
     sigs = _signatures_from(sh)
+    bands = _band_rows(sigs)
+    if max_bucket_size is not None:
+        oversized = (
+            bands.groupBy("band", "sig")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+            .select("band", "sig")
+            .localCheckpoint()  # tiny; evaluated once for the log + the join
+        )
+        n_over = oversized.count()
+        if n_over:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH: sidelining %d band buckets larger than %d "
+                "rows (recall loss is bounded to pairs only co-occurring "
+                "in oversized buckets)",
+                n_over, max_bucket_size,
+            )
+        bands = bands.join(oversized, ["band", "sig"], "left_anti")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cands = (
+        a.join(b_, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return groups, sh, cands
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """Explode N_MINHASH signature columns into (doc_id, band, sig) rows —
+    one pass, one Generate; no per-band re-evaluation of the pipeline."""
+    rows_per_band = N_MINHASH // N_BANDS
     band_structs = F.array(
         *[
             F.struct(
@@ -369,19 +439,86 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> Da
             for b in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cands = (
-        a.join(b_, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → N_MINHASH minhash values (min over shingles of
+    salted h60)."""
+    aggs = [
+        F.min(_h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+    """doc_id → N_MINHASH minhash values (min over shingles of salted h60)."""
+    return _signatures_from(_shingles(docs, n))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle → minhash → band → bucket equi-join → verify, run over exact-
+    duplicate canonical representatives only (`_rep_pairs` — the
+    hot-bucket fix), then expanded back to member pairs:
+
+      * cross-group: members of group A × members of group B inherit the
+        rep pair's jaccard verbatim — identical texts have identical
+        shingle sets, so every member pair's exact jaccard IS the reps'.
+      * within-group: exact copies are jaccard-1.0 pairs by definition
+        (provided the text yields >= 1 shingle — sub-n-token docs have no
+        signature and never pair, matching the uncollapsed plan).
+
+    The expansion reproduces the uncollapsed output EXACTLY (the oracle
+    SQL is unchanged and still hash-matches); what changed is the
+    CANDIDATE volume: B exact copies of a page now contribute one row per
+    bucket instead of B, so the band join's fanout is quadratic only in
+    distinct near-dup texts. The within-group pairs the old plan found by
+    verifying B^2/2 candidates are emitted directly from the exact-dup
+    map — output rows, not candidate rows. Pair output for a B-copy
+    group is still B^2/2 rows because that IS the operator's contract;
+    `dup_clusters` (the production consumer) never materializes them,
+    expanding cluster MEMBERSHIP instead — O(B)."""
+    groups, rep_pairs, rep_shingled, _sh = _rep_pairs(
+        docs, n, threshold, max_bucket_size
     )
-    # verify ONLY the candidates (never the O(n^2) exact-pairs table)
-    return _verify_pairs(cands, sh, threshold)
+    ma = groups.select(F.col("canon").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = groups.select(F.col("canon").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    dup_members = groups.join(
+        rep_shingled.withColumnRenamed("doc_id", "canon"), "canon", "left_semi"
+    )
+    wa = dup_members.select("canon", F.col("doc_id").alias("m_a"))
+    wb = dup_members.select("canon", F.col("doc_id").alias("m_b"))
+    within = (
+        wa.join(wb, "canon")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("doc_a"),
+            F.col("m_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:  # degenerate setting: exact copies no longer pass
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 class NonConvergenceError(RuntimeError):
@@ -497,21 +634,69 @@ def _cc_labels(
     return labels
 
 
-def dup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5) -> DataFrame:
+def dup_clusters(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Near-duplicate cluster resolution: connected components over the
     MinHash-LSH verified pair graph, labeling every involved doc with its
     cluster's canonical id (the minimum doc_id) and the cluster size — the
     step a curation pipeline needs after pair generation to actually DROP
     duplicates (keep rows where doc_id == cluster_id).
 
+    Components are computed over CANONICAL REPRESENTATIVES (exact dups
+    collapsed by md5(text) — `_rep_pairs`), then membership is expanded
+    through the exact-dup map: every member inherits its canon's cluster
+    label, and an exact-dup group whose canon pairs with nothing is a
+    cluster on its own (its members are mutual jaccard-1.0 pairs). This
+    keeps the duplicate-heavy-corpus cost O(members) end to end — the
+    B^2/2 within-group pairs the old plan pushed through candidate
+    generation AND label propagation never exist; the label seed set is
+    one row per distinct text. cluster_id is unchanged: canons are group
+    minima, so the min label of a rep component IS the min doc_id of the
+    expanded component (oracle SQL untouched, still hash-green).
+
     Output: (doc_id, cluster_id, cluster_size) for docs in ≥1 dup pair."""
+    groups, rep_pairs, rep_shingled, sh = _rep_pairs(
+        docs, n, threshold, max_bucket_size
+    )
+    reliable = _reliable_default(docs)
     # materialize the (small, sparse) pair list ONCE before _cc_labels
     # fans out into fwd/rev branches — otherwise the whole LSH pipeline
     # evaluates twice under the union (reliable checkpoint when a
-    # checkpoint dir is configured, same seam as _cc_labels)
-    raw = minhash_lsh_pairs(docs, n, threshold).select("doc_a", "doc_b")
-    pairs = _iter_checkpoint(raw, _reliable_default(raw))
-    labels = _cc_labels(pairs)
+    # checkpoint dir is configured, same seam as _cc_labels); rep_shingled
+    # (one id per shingled rep — tiny) is materialized for the same
+    # reason, after which the cached shingle frame has no consumers left
+    # and is released immediately rather than squatting executor memory
+    # for the life of the session
+    pairs = _iter_checkpoint(rep_pairs.select("doc_a", "doc_b"), reliable)
+    rep_shingled = _iter_checkpoint(rep_shingled, reliable)
+    sh.unpersist()
+    rep_labels = _cc_labels(pairs).withColumnRenamed("doc_id", "canon")
+    # exact-dup groups are clusters even with no cross-text pair — but only
+    # when their text shingles at all (sub-n-token copies never pair)
+    group_meta = (
+        groups.groupBy("canon")
+        .agg(F.count("*").alias("n_members"))
+        .join(
+            rep_shingled.withColumnRenamed("doc_id", "canon"),
+            "canon",
+            "left_semi",
+        )
+    )
+    clustered_canons = (
+        group_meta.join(rep_labels, "canon", "left")
+        .filter(
+            F.col("cluster_id").isNotNull()
+            | ((F.col("n_members") >= 2) & F.lit(threshold <= 1.0))
+        )
+        .select(
+            "canon", F.coalesce("cluster_id", F.col("canon")).alias("cluster_id")
+        )
+    )
+    labels = groups.join(clustered_canons, "canon").select("doc_id", "cluster_id")
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"

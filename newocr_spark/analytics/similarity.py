@@ -461,12 +461,27 @@ def ivf_ann_topk(
     )
 
 
+def _exact_vec_groups(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, canon) exact-duplicate map over embeddings: canon is the
+    minimum vec_id among vectors with bit-identical components (float
+    string forms are injective on distinct values, so md5 of the joined
+    reprs is exact equality, not a tolerance). Mirrors dedup._exact_groups
+    for the text family — same hash-agg + equi-join shape."""
+    key = F.md5(
+        F.array_join(F.transform("embedding", lambda x: x.cast("string")), ",")
+    )
+    h = embeddings.select("vec_id", key.alias("vh"))
+    canon = h.groupBy("vh").agg(F.min("vec_id").alias("canon"))
+    return h.join(canon, "vh").select("vec_id", "canon")
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale — the banded-LSH shape the
     exact `embedding_neardup_pairs` baseline documents as its 100 TB
@@ -489,7 +504,19 @@ def lsh_neardup_pairs(
     exploding pairs in one task: a sort-merge self-join STREAMS a hot
     bucket's B^2 candidate fanout, while a buffered id-list concentrates
     it in a single task's memory — the skew-robust plan wins at scale.
-    tests/test_ann_recall.py pins pair recall vs the exact baseline."""
+    tests/test_ann_recall.py pins pair recall vs the exact baseline.
+
+    Duplicate-heavy corpora (the dedup.py hot-bucket finding, mirrored
+    here): bit-identical vectors land in the SAME bucket of every table,
+    so B copies of one embedding are B^2/2 candidates per table. The
+    pipeline therefore buckets exact-duplicate CANONICAL REPRESENTATIVES
+    only (collapse on the float-exact component hash), and re-expands
+    member pairs afterwards — cross-group pairs inherit the reps'
+    verified cosine verbatim (identical vectors, identical formula),
+    within-group pairs are cosine-1.0 by definition (zero vectors
+    excluded: their cosine is NaN in the exact baseline). max_bucket_size
+    optionally sidelines still-oversized buckets of DISTINCT vectors,
+    logging the count."""
     spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
     planes_b = spark.sparkContext.broadcast(
@@ -504,9 +531,32 @@ def lsh_neardup_pairs(
         powers = 1 << np.arange(planes.shape[1], dtype=np.int64)
         return pd.Series(list((signs @ powers).astype(np.int64)))
 
-    bucketed = _spread(embeddings).select(
+    groups = _exact_vec_groups(embeddings)
+    reps = embeddings.join(
+        groups.filter(F.col("vec_id") == F.col("canon")).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    bucketed = _spread(reps).select(
         "vec_id", F.posexplode(buckets_of("embedding")).alias("table", "bucket")
     )
+    if max_bucket_size is not None:
+        oversized = (
+            bucketed.groupBy("table", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+            .select("table", "bucket")
+            .localCheckpoint()
+        )
+        n_over = oversized.count()
+        if n_over:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH: sidelining %d (table, bucket) cells larger "
+                "than %d rows", n_over, max_bucket_size,
+            )
+        bucketed = bucketed.join(oversized, ["table", "bucket"], "left_anti")
     a = bucketed.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     b = bucketed.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     cands = (
@@ -517,14 +567,42 @@ def lsh_neardup_pairs(
     )
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    return _attach_broadcasts(
+    rep_pairs = (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine"),
-        planes_b,
+        .select("vec_a", "vec_b", "cosine")
     )
+    ma = groups.select(F.col("canon").alias("vec_a"), F.col("vec_id").alias("m_a"))
+    mb = groups.select(F.col("canon").alias("vec_b"), F.col("vec_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            "cosine",
+        )
+    )
+    nonzero = reps.filter(_norm_expr("embedding") > 0).select(
+        F.col("vec_id").alias("canon")
+    )
+    dup_members = groups.join(nonzero, "canon", "left_semi")
+    wa = dup_members.select("canon", F.col("vec_id").alias("m_a"))
+    wb = dup_members.select("canon", F.col("vec_id").alias("m_b"))
+    within = (
+        wa.join(wb, "canon")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("vec_a"),
+            F.col("m_b").alias("vec_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return _attach_broadcasts(cross.unionByName(within), planes_b)
 
 
 def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
