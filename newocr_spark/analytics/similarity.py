@@ -605,6 +605,121 @@ def lsh_neardup_pairs(
     return _attach_broadcasts(cross.unionByName(within), planes_b)
 
 
+def lsh_precision_violations(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """MUST-BE-EMPTY certification of the banded-LSH pairs path — the
+    oracle-checkable HALF of a seed-dependent operator: recall depends on
+    the hyperplane draw (not SQL-reproducible), but precision 1.0 is a
+    CONSTRUCTION INVARIANT (every emitted pair is exactly verified), and
+    "the LSH pairs minus the exact pairs is empty" is a statement DuckDB
+    certifies exactly (the oracle is the exact-pairs SQL under an
+    always-false predicate: zero rows, same schema). A regression in the
+    verify stage — wrong formula, dropped filter, expansion emitting an
+    unverified pair — turns up as rows here and flips the contract red.
+
+    Boundary exemption: the Spark verify (JVM sequential-fold dot) and
+    the exact baseline (BLAS matmul) can disagree by one ulp of the 6th
+    rounded digit on a cosine landing EXACTLY on the threshold
+    (similarity.py:embedding_neardup_pairs docstring), so pairs within
+    one rounding cell of the threshold are excused — a true precision bug
+    emits pairs strictly inside the acceptance region."""
+    exact_full = embedding_neardup_pairs(embeddings, threshold=threshold)
+    approx_full = lsh_neardup_pairs(embeddings, threshold=threshold)
+    bcs = (
+        *getattr(exact_full, "_newocr_broadcasts", ()),
+        *getattr(approx_full, "_newocr_broadcasts", ()),
+    )
+    out = _precision_violations(approx_full, exact_full, threshold)
+    return _attach_broadcasts(out, *bcs)
+
+
+def _precision_violations(
+    approx: DataFrame, exact: DataFrame, threshold: float
+) -> DataFrame:
+    """LSH pairs absent from the exact pair set (id anti-join), excluding
+    the one-ulp threshold boundary cell. Split from the public wrapper so
+    tests can feed a corrupted approx frame and watch rows appear."""
+    return (
+        approx.join(exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti")
+        .filter(F.col("cosine") > threshold + 1e-6)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def lsh_precision_sql(threshold: float = 0.4) -> str:
+    """Oracle: the exact-pairs SQL under an always-false predicate — the
+    certified expectation is ZERO rows with the violation schema."""
+    return f"""
+    SELECT vec_a, vec_b, cosine
+    FROM ({embedding_neardup_sql(threshold)})
+    WHERE FALSE
+    """
+
+
+def ann_cosine_violations(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 4
+) -> DataFrame:
+    """MUST-BE-EMPTY certification of the ANN paths' SCORES: which
+    neighbors LSH/IVF retrieve is seed-dependent (rows-only check), but
+    every cosine they REPORT must equal the exact formula recomputed for
+    that (query, neighbor) id pair — same `_cosine_expr`, same inputs,
+    bit-identical by determinism of the plan. Rows appear if a re-rank
+    ever scores against a stale/wrong vector or the formula drifts."""
+    outs = []
+    bcs = []
+    for method, approx in (
+        ("lsh", lsh_ann_topk(embeddings, n_queries, k)),
+        ("ivf", ivf_ann_topk(embeddings, n_queries, k, nprobe=nprobe)),
+    ):
+        bcs.extend(getattr(approx, "_newocr_broadcasts", ()))
+        outs.append(_cosine_mismatches(approx, embeddings, method))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return _attach_broadcasts(out, *bcs)
+
+
+def _cosine_mismatches(
+    approx: DataFrame, embeddings: DataFrame, method: str
+) -> DataFrame:
+    """Rows of `approx` whose reported cosine differs from the exact
+    recompute on the same embeddings. Public-by-test seam."""
+    q_emb = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c_emb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return (
+        approx.select("query_id", "neighbor_id", "cosine")
+        .join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "neighbor_id")
+        .withColumn("recomputed", F.round(_cosine_expr("qv", "cv"), 6))
+        .filter(F.col("cosine") != F.col("recomputed"))
+        .select(
+            F.lit(method).alias("method"),
+            "query_id", "neighbor_id",
+            F.col("cosine").alias("reported"),
+            "recomputed",
+        )
+    )
+
+
+def ann_cosine_check_sql() -> str:
+    """Oracle: zero rows with the mismatch schema (the ANN candidate sets
+    are seed-dependent, but a correct engine reports no score that
+    disagrees with the formula — the empty set is the exact expectation)."""
+    return """
+    SELECT CAST(NULL AS VARCHAR) AS method,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS reported,
+           CAST(NULL AS DOUBLE) AS recomputed
+    WHERE FALSE
+    """
+
+
 def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Corpus-level recall/precision of the banded-LSH near-dup pairs path
     against the exact quadratic baseline, surfaced in the DRIVER artifact

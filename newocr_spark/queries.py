@@ -451,6 +451,17 @@ def q_neardup_recall(spark, sf):  # rows-only: pairs-path quality per round
     return S.neardup_recall(load(spark, sf, "embeddings"), threshold=0.4)
 
 
+def q_neardup_lsh_precision(spark, sf):  # ORACLE-GREEN half of the LSH
+    # pairs path: emitted-pairs ⊆ exact-pairs is a construction invariant
+    # and "the difference is empty" is exactly SQL-certifiable
+    return S.lsh_precision_violations(load(spark, sf, "embeddings"), threshold=0.4)
+
+
+def q_ann_cosine_check(spark, sf):  # ORACLE-GREEN half of the ANN paths:
+    # reported cosines must equal the exact formula on the same id pairs
+    return S.ann_cosine_violations(load(spark, sf, "embeddings"), n_queries=5, k=5)
+
+
 def _fixture_media(spark, sf, n=40):
     from .artifacts import get_model
     from .fixtures import corpus_fixture_tables
@@ -543,6 +554,8 @@ QUERIES = {
     "embed_lsh_neardup": q_embed_lsh_neardup,
     "ann_recall": q_ann_recall,
     "neardup_recall": q_neardup_recall,
+    "neardup_lsh_precision": q_neardup_lsh_precision,
+    "ann_cosine_check": q_ann_cosine_check,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -596,6 +609,10 @@ ORACLES = {
     "repetition_stats": T.repetition_stats_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
+    # must-be-empty certifications: the SQL-checkable halves of the
+    # seed-dependent approximate paths (precision subset / score parity)
+    "neardup_lsh_precision": S.lsh_precision_sql(0.4),
+    "ann_cosine_check": S.ann_cosine_check_sql(),
     # round-3 curation operators (analytics/curation.py)
     # (registered in _register_curation_oracles below)
     # "ann_lsh"/"ann_ivf"/"ann_recall": Spark-only (seeded hyperplanes /

@@ -198,6 +198,44 @@ def test_lsh_neardup_pairs_recall_and_precision(spark, embeddings):
         assert abs(cos - exact[pair]) <= 1e-6
 
 
+def test_certification_queries_are_empty_and_not_vacuous(spark, embeddings):
+    """The must-be-empty contract queries (neardup_lsh_precision,
+    ann_cosine_check) certify invariants, so (a) they must be empty on the
+    real operators, and (b) a CORRUPTED input must produce rows — the
+    checks cannot be empty by construction of the query itself."""
+    from newocr_spark.analytics.similarity import (
+        _cosine_mismatches,
+        _precision_violations,
+        ann_cosine_violations,
+        embedding_neardup_pairs,
+        lsh_ann_topk,
+        lsh_precision_violations,
+    )
+
+    assert lsh_precision_violations(embeddings, threshold=0.4).count() == 0
+    assert ann_cosine_violations(embeddings, n_queries=N_QUERIES, k=K).count() == 0
+
+    # negative control: a fabricated pair far above threshold must surface
+    exact = embedding_neardup_pairs(embeddings, threshold=0.4)
+    bogus = spark.createDataFrame(
+        [(1, 2, 0.99)], "vec_a long, vec_b long, cosine double"
+    )
+    assert _precision_violations(bogus, exact, 0.4).count() == 1
+    # ...but a boundary-cell pair (within one ulp of the threshold) is
+    # excused — the two engines may legitimately disagree there
+    boundary = spark.createDataFrame(
+        [(1, 2, 0.400001)], "vec_a long, vec_b long, cosine double"
+    )
+    assert _precision_violations(boundary, exact, 0.4).count() == 0
+
+    # negative control: nudging a reported cosine must surface as mismatch
+    approx = lsh_ann_topk(embeddings, n_queries=N_QUERIES, k=K)
+    corrupted = approx.withColumn(
+        "cosine", F.col("cosine") + F.lit(0.001)
+    )
+    assert _cosine_mismatches(corrupted, embeddings, "lsh").count() > 0
+
+
 def test_neardup_recall_query_agrees_with_harness(spark, embeddings):
     """The rows-only contract query neardup_recall must report the same
     corpus-level recall/precision the pytest harness computes."""
