@@ -262,6 +262,30 @@ REP_TOP_TOK_MAX = 0.12
 REP_TOP_BIGRAM_MAX = 0.08
 REP_DUP_BIGRAM_MAX = 0.2
 
+# Full Gopher battery (Rae et al. 2021, table A1): top {2,3,4}-gram
+# CHARACTER fractions and duplicate {5..10}-gram CHARACTER fractions —
+# the rules the count-based bigram gate can't express (a paragraph pasted
+# 3x barely moves bigram counts but owns a large share of the doc's
+# characters through its long duplicate n-grams). Definitions here:
+#   top_{n}gram_char_frac = max over n-grams of count*len(gram) / chars
+#     (the n-gram COVERING the most characters — a deterministic variant
+#      of Gopher's "most frequently-occurring n-gram"; max_by on count
+#      alone is tie-ambiguous across engines)
+#   dup_{n}gram_char_frac = sum over n-grams with count>1 of
+#     count*len(gram) / chars (overlap-counted, as the public RedPajama/
+#      Dolma implementations do — exact de-overlapping is not
+#      SQL-expressible and changes decisions only at the margin)
+# Top-gram thresholds pinned at the measured sf0.01 p99 (top_2 0.229 /
+# top_3 0.313 / top_4 0.390) so the gate flags the ~1% most-repetitive
+# tail of the synthetic corpus; the duplicate-gram thresholds keep
+# Gopher's published table-A1 values (this corpus has ZERO natural
+# duplicate >=5-grams — any nonzero coverage is anomalous, and a
+# 3x-pasted paragraph lands near 1.0; tests/test_curation.py).
+REP_TOP_NGRAM_NS = (2, 3, 4)
+REP_DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+REP_TOP_NGRAM_MAX = {2: 0.23, 3: 0.32, 4: 0.39}
+REP_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
 
 def repetition_stats(
     docs: DataFrame,
@@ -317,23 +341,89 @@ def repetition_stats(
             F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
         ).alias("dup_bg"),
     )
-    joined = tok_stats.join(bg_stats, "doc_id", "left")
+    # ---- full Gopher battery: one exploded (doc_id, n, gram) frame for
+    # all nine gram widths; only (doc_id, n, gram) rides the exchange ----
+    all_ns = sorted({*REP_TOP_NGRAM_NS, *REP_DUP_NGRAM_NS})
+
+    def _windows_of(nn):
+        # closure factory, NOT a default-arg lambda: pyspark dispatches a
+        # two-parameter callable as the (element, index) binary transform,
+        # which would silently bind the width to the array index
+        return lambda i: F.struct(
+            F.lit(nn).alias("n"),
+            F.array_join(F.slice(toks, i + 1, nn), " ").alias("gram"),
+        )
+
+    per_n = [
+        F.when(
+            F.size(toks) >= nn,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - nn), _windows_of(nn)),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+        for nn in all_ns
+    ]
+    grams = toked.select(
+        "doc_id", F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    g_counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    covered = F.col("c") * F.length("gram")
+    g_stats = g_counts.groupBy("doc_id", "n").agg(
+        F.max(covered).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, covered)), F.lit(0)
+        ).alias("dup_chars"),
+    )
+    char_stats = g_stats.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == nn, F.col("top_chars"))).alias(f"top_ch_{nn}")
+            for nn in REP_TOP_NGRAM_NS
+        ],
+        *[
+            F.max(F.when(F.col("n") == nn, F.col("dup_chars"))).alias(f"dup_ch_{nn}")
+            for nn in REP_DUP_NGRAM_NS
+        ],
+    )
+    n_chars = docs.select("doc_id", F.length("text").alias("n_chars"))
+
+    joined = (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .join(char_stats, "doc_id", "left")
+        .join(n_chars, "doc_id")
+    )
     top_tok = F.round(F.col("max_c") / F.col("n_tok"), 6)
     dup_tok = F.round((F.col("n_tok") - F.col("n_distinct")) / F.col("n_tok"), 6)
     top_bg = F.coalesce(F.round(F.col("max_bg") / F.col("n_bg"), 6), F.lit(0.0))
     dup_bg = F.coalesce(F.round(F.col("dup_bg") / F.col("n_bg"), 6), F.lit(0.0))
-    return joined.select(
+
+    def _frac(col):
+        return F.coalesce(F.round(col / F.col("n_chars"), 6), F.lit(0.0))
+
+    out = joined.select(
         "doc_id",
         top_tok.alias("top_tok_frac"),
         dup_tok.alias("dup_tok_frac"),
         top_bg.alias("top_bigram_frac"),
         dup_bg.alias("dup_bigram_frac"),
-    ).withColumn(
-        "keep",
+        *[
+            _frac(F.col(f"top_ch_{nn}")).alias(f"top_{nn}gram_char_frac")
+            for nn in REP_TOP_NGRAM_NS
+        ],
+        *[
+            _frac(F.col(f"dup_ch_{nn}")).alias(f"dup_{nn}gram_char_frac")
+            for nn in REP_DUP_NGRAM_NS
+        ],
+    )
+    gate = (
         (F.col("top_tok_frac") <= top_tok_max)
         & (F.col("top_bigram_frac") <= top_bigram_max)
-        & (F.col("dup_bigram_frac") <= dup_bigram_max),
+        & (F.col("dup_bigram_frac") <= dup_bigram_max)
     )
+    for nn in REP_TOP_NGRAM_NS:
+        gate = gate & (F.col(f"top_{nn}gram_char_frac") <= REP_TOP_NGRAM_MAX[nn])
+    for nn in REP_DUP_NGRAM_NS:
+        gate = gate & (F.col(f"dup_{nn}gram_char_frac") <= REP_DUP_NGRAM_MAX[nn])
+    return out.withColumn("keep", gate)
 
 
 def repetition_stats_sql(
@@ -342,8 +432,54 @@ def repetition_stats_sql(
     dup_bigram_max: float = REP_DUP_BIGRAM_MAX,
 ) -> str:
     toks = "string_split_regex(trim(text), '\\s+')"
+    all_ns = sorted({*REP_TOP_NGRAM_NS, *REP_DUP_NGRAM_NS})
+    # one branch per gram width (DuckDB cannot bind a VALUES column inside
+    # a LATERAL generate_series bound)
+    g_branches = " UNION ALL ".join(
+        f"SELECT doc_id, {nn} AS n, "
+        f"array_to_string(toks[i.i : i.i + {nn - 1}], ' ') AS gram "
+        f"FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - {nn - 1}))"
+        f" AS i) i"
+        for nn in all_ns
+    )
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {nn} THEN top_chars END) AS top_ch_{nn}"
+        for nn in REP_TOP_NGRAM_NS
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN n = {nn} THEN dup_chars END) AS dup_ch_{nn}"
+        for nn in REP_DUP_NGRAM_NS
+    )
+    top_fracs = ", ".join(
+        f"COALESCE(round(top_ch_{nn} * 1.0 / n_chars, 6), 0.0)"
+        f" AS top_{nn}gram_char_frac"
+        for nn in REP_TOP_NGRAM_NS
+    )
+    dup_fracs = ", ".join(
+        f"COALESCE(round(dup_ch_{nn} * 1.0 / n_chars, 6), 0.0)"
+        f" AS dup_{nn}gram_char_frac"
+        for nn in REP_DUP_NGRAM_NS
+    )
+    frac_names = ", ".join(
+        [f"top_{nn}gram_char_frac" for nn in REP_TOP_NGRAM_NS]
+        + [f"dup_{nn}gram_char_frac" for nn in REP_DUP_NGRAM_NS]
+    )
+    gate_terms = " AND ".join(
+        [f"top_tok_frac <= {top_tok_max}",
+         f"top_bigram_frac <= {top_bigram_max}",
+         f"dup_bigram_frac <= {dup_bigram_max}"]
+        + [
+            f"top_{nn}gram_char_frac <= {REP_TOP_NGRAM_MAX[nn]}"
+            for nn in REP_TOP_NGRAM_NS
+        ]
+        + [
+            f"dup_{nn}gram_char_frac <= {REP_DUP_NGRAM_MAX[nn]}"
+            for nn in REP_DUP_NGRAM_NS
+        ]
+    )
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {toks} AS toks, length(text) AS n_chars
+               FROM documents),
     tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
     ts AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
@@ -356,18 +492,27 @@ def repetition_stats_sql(
     bs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS max_bg,
                   COALESCE(sum(c) FILTER (c > 1), 0) AS dup_bg
            FROM bc GROUP BY 1),
+    g AS ({g_branches}),
+    gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    gs AS (SELECT doc_id, n,
+                  max(c * length(gram)) AS top_chars,
+                  COALESCE(sum(c * length(gram)) FILTER (c > 1), 0) AS dup_chars
+           FROM gc GROUP BY 1, 2),
+    gp AS (SELECT doc_id, {top_cols}, {dup_cols} FROM gs GROUP BY doc_id),
     fr AS (
       SELECT ts.doc_id,
              round(max_c / n_tok, 6) AS top_tok_frac,
              round((n_tok - n_distinct) / n_tok, 6) AS dup_tok_frac,
              COALESCE(round(max_bg / n_bg, 6), 0.0) AS top_bigram_frac,
-             COALESCE(round(dup_bg / n_bg, 6), 0.0) AS dup_bigram_frac
-      FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+             COALESCE(round(dup_bg / n_bg, 6), 0.0) AS dup_bigram_frac,
+             {top_fracs}, {dup_fracs}
+      FROM ts
+      LEFT JOIN bs ON bs.doc_id = ts.doc_id
+      LEFT JOIN gp ON gp.doc_id = ts.doc_id
+      JOIN t ON t.doc_id = ts.doc_id
     )
     SELECT doc_id, top_tok_frac, dup_tok_frac, top_bigram_frac,
-           dup_bigram_frac,
-           (top_tok_frac <= {top_tok_max}
-            AND top_bigram_frac <= {top_bigram_max}
-            AND dup_bigram_frac <= {dup_bigram_max}) AS keep
+           dup_bigram_frac, {frac_names},
+           ({gate_terms}) AS keep
     FROM fr
     """

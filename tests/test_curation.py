@@ -148,3 +148,37 @@ def test_repetition_stats_flags_self_repeating_doc(spark):
     assert out[2].dup_tok_frac == 0.0 and out[2].keep
     assert out[3].top_bigram_frac > 0.4 and not out[3].keep
     assert out[4].top_bigram_frac == 0.0 and out[4].dup_bigram_frac == 0.0
+
+
+def test_pasted_paragraph_flips_keep_only_under_char_fractions(spark):
+    """The Gopher duplicate-n-gram CHARACTER rules catch long-range
+    self-copy the count-based gates can't: a 20-token paragraph pasted 3x
+    inside 240 unique filler tokens keeps top_tok/top_bigram/dup_bigram
+    under their thresholds (the paste is a tiny share of COUNTS) while its
+    duplicate 5..10-grams own a large share of the doc's CHARACTERS."""
+    from newocr_spark.analytics.textstats import (
+        REP_DUP_BIGRAM_MAX,
+        REP_DUP_NGRAM_MAX,
+        REP_TOP_BIGRAM_MAX,
+        REP_TOP_TOK_MAX,
+        repetition_stats,
+    )
+
+    para = " ".join(f"paragraph{i}" for i in range(20))
+    filler = " ".join(f"filler{i}" for i in range(240))
+    pasted = f"{para} {filler} {para} {para}"
+    docs = spark.createDataFrame(
+        [(1, pasted), (2, filler)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r = out[1]
+    # every pre-battery gate passes individually...
+    assert r.top_tok_frac <= REP_TOP_TOK_MAX
+    assert r.top_bigram_frac <= REP_TOP_BIGRAM_MAX
+    assert r.dup_bigram_frac <= REP_DUP_BIGRAM_MAX
+    # ...but the pasted paragraph owns most of the doc through its
+    # duplicate long n-grams, and only the char-fraction rules see it
+    assert r.dup_5gram_char_frac > REP_DUP_NGRAM_MAX[5]
+    assert r.dup_10gram_char_frac > REP_DUP_NGRAM_MAX[10]
+    assert not r.keep
+    assert out[2].keep and out[2].dup_5gram_char_frac == 0.0
