@@ -39,6 +39,7 @@ BENCH_QUERIES = (
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
+    "neardup_recall",
 )
 
 

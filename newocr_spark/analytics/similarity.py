@@ -791,18 +791,41 @@ def ann_cosine_check_sql() -> str:
     """
 
 
-def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def neardup_recall(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    sample_max: int | None = QUADRATIC_MAX_ROWS,
+) -> DataFrame:
     """Corpus-level recall/precision of the banded-LSH near-dup pairs path
     against the exact quadratic baseline, surfaced in the DRIVER artifact
     every round (the pairs analogue of `ann_recall`; pytest floors live in
-    tests/test_ann_recall.py). One output row:
-    (method, n_exact, n_approx, n_hit, recall, precision).
+    tests/test_ann_recall.py). One output row: (method, n_exact,
+    n_approx, n_hit, recall, precision, n_corpus, sampled).
+
+    Works at ANY corpus size: the exact side is the quadratic-guarded
+    baseline, so past `sample_max` rows the measurement runs on a
+    DETERMINISTIC hash sample of the corpus (xxhash64 bucket filter — no
+    RNG state, reproducible across runs/clusters) sized to the guard.
+    Recall over a uniform vertex sample estimates corpus recall because
+    bucketing is exchangeable over vectors — pytest pins sampled ~ full
+    at sf0.001; `sampled`/`n_corpus` make the artifact self-describing.
 
     Computed Spark-side with id-only joins: the exact pair set is bounded
     (guarded baseline at contract scale), the LSH set joins against it on
     (vec_a, vec_b) — vectors never move."""
-    exact_full = embedding_neardup_pairs(embeddings, threshold=threshold)
-    approx_full = lsh_neardup_pairs(embeddings, threshold=threshold)
+    n_corpus = embeddings.count()
+    sampled = sample_max is not None and n_corpus > sample_max
+    base = embeddings
+    if sampled:
+        denom = 1_000_000
+        keep_buckets = int(denom * sample_max / n_corpus)
+        base = embeddings.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) < keep_buckets
+        )
+    exact_full = embedding_neardup_pairs(
+        base, threshold=threshold, max_rows=sample_max
+    )
+    approx_full = lsh_neardup_pairs(base, threshold=threshold)
     # capture the sub-operators' broadcasts BEFORE .select() strips the
     # _newocr_broadcasts attribute; both frames are fully materialized by
     # the eager localCheckpoints below, so the corpus matrix and the LSH
@@ -824,9 +847,10 @@ def neardup_recall(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
         "lsh_pairs", n_exact, n_approx, n_hit,
         round(n_hit / n_exact, 4) if n_exact else 1.0,
         round(n_hit / n_approx, 4) if n_approx else 1.0,
+        n_corpus, sampled,
     )]
     return spark.createDataFrame(
         row,
         "method string, n_exact long, n_approx long, n_hit long, "
-        "recall double, precision double",
+        "recall double, precision double, n_corpus long, sampled boolean",
     )

@@ -274,3 +274,24 @@ def test_neardup_recall_query_agrees_with_harness(spark, embeddings):
     assert row.n_hit == len(got & exact)
     assert row.precision == 1.0
     assert row.recall >= 0.85
+    assert not row.sampled and row.n_corpus == embeddings.count()
+
+
+def test_neardup_recall_sample_bound(spark, embeddings):
+    """Past the quadratic guard the recall diagnostic must keep working on
+    a deterministic hash sample instead of raising: forcing sample_max
+    below the corpus size at sf0.001 yields a sampled measurement whose
+    recall approximates the full one (bucketing is exchangeable over
+    vectors; the sample halves the corpus, quartering pair counts — the
+    estimate is noisy but unbiased)."""
+    from newocr_spark.analytics.similarity import neardup_recall
+
+    full = neardup_recall(embeddings, threshold=0.4).collect()[0]
+    samp = neardup_recall(embeddings, threshold=0.4, sample_max=250).collect()[0]
+    assert samp.sampled and samp.n_corpus == full.n_corpus
+    assert 0 < samp.n_exact < full.n_exact  # genuinely smaller measurement
+    assert samp.precision == 1.0  # subset property holds on any sub-corpus
+    assert abs(samp.recall - full.recall) <= 0.15
+    # determinism: the hash sample reproduces bit-identically
+    again = neardup_recall(embeddings, threshold=0.4, sample_max=250).collect()[0]
+    assert again == samp
