@@ -361,3 +361,176 @@ def pack_manifest_sql(budget: int = 512, n_shards: int = 8) -> str:
            UNNEST(generate_series(seq_id, end_seq_id)) AS seq_id
     FROM packed
     """
+
+
+def pack_bucketed(
+    docs: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Length-aware NO-SPLIT packing — the layout loaders prefer when
+    split-rate matters more than padding: within a shard, docs of equal
+    token count share sequences (floor(budget / n_tok) docs per
+    sequence, deterministic hash order), so no document crosses a
+    sequence boundary; only docs LONGER than the budget split, into
+    dedicated runs of ceil(n_tok / budget) sequences. The contiguous
+    stream (`pack_sequences`) stays the default and the densest (its
+    padding is zero but it splits any doc straddling a boundary);
+    `pack_efficiency` reports both sides of that trade per mode.
+
+    100 TB shape: the same ONE shuffle by shard as the contiguous mode,
+    plus a per-(shard, length) row_number window and a per-shard
+    prefix-sum over the DISTINCT slot list (slots ≈ sequences, far
+    fewer rows than docs); only (doc_id, n_tok) ever rides an exchange.
+
+    Output mirrors pack_sequences: (doc_id, shard, n_tok, seq_id,
+    end_seq_id, n_seqs) — seq ids are per-shard, dense, non-overlapping."""
+    from pyspark.sql import Window
+
+    h = _h60(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0))).alias(
+            "n_tok"
+        ),
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+        h.alias("h"),
+    ).withColumn("eff", F.greatest(F.col("n_tok"), F.lit(1)))
+    w_rn = Window.partitionBy("shard", "eff").orderBy("h", "doc_id")
+    k = F.floor(F.lit(budget) / F.col("eff"))  # docs per sequence (eff <= budget)
+    is_over = F.col("eff") > budget
+    d = base.withColumn("rn", F.row_number().over(w_rn)).select(
+        "doc_id", "shard", "n_tok", "eff",
+        F.when(is_over, F.col("rn") - 1)
+        .otherwise(F.floor((F.col("rn") - 1) / k))
+        .cast("long")
+        .alias("slot_idx"),
+        F.when(is_over, F.ceil(F.col("eff") / F.lit(budget)))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("width"),
+    )
+    slots = d.select("shard", "eff", "slot_idx", "width").distinct()
+    w_slot = (
+        Window.partitionBy("shard")
+        .orderBy("eff", "slot_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    slot_base = slots.withColumn(
+        "seq_base", F.coalesce(F.sum("width").over(w_slot), F.lit(0))
+    ).drop("width")
+    return (
+        d.join(slot_base, ["shard", "eff", "slot_idx"])
+        .select(
+            "doc_id", "shard", "n_tok",
+            F.col("seq_base").cast("long").alias("seq_id"),
+            (F.col("seq_base") + F.col("width") - 1).cast("long").alias("end_seq_id"),
+            F.col("width").alias("n_seqs"),
+        )
+    )
+
+
+def pack_bucketed_sql(budget: int = 512, n_shards: int = 8) -> str:
+    h = H60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_ISH}')) AS n_tok,
+             {h} % {n_shards} AS shard,
+             {h} AS h,
+             greatest(len(regexp_extract_all(text, '{BPE_ISH}')), 1) AS eff
+      FROM documents
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (PARTITION BY shard, eff ORDER BY h, doc_id)
+             AS rn
+      FROM base
+    ),
+    d AS (
+      SELECT doc_id, shard, n_tok, eff,
+             CAST(CASE WHEN eff > {budget} THEN rn - 1
+                       ELSE floor((rn - 1) / floor({budget} * 1.0 / eff)) END
+                  AS BIGINT) AS slot_idx,
+             CAST(CASE WHEN eff > {budget} THEN ceil(eff * 1.0 / {budget})
+                       ELSE 1 END AS BIGINT) AS width
+      FROM rn
+    ),
+    slots AS (SELECT DISTINCT shard, eff, slot_idx, width FROM d),
+    sb AS (
+      SELECT shard, eff, slot_idx, width,
+             CAST(COALESCE(SUM(width) OVER (
+               PARTITION BY shard ORDER BY eff, slot_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS seq_base
+      FROM slots
+    )
+    SELECT d.doc_id, d.shard, d.n_tok,
+           sb.seq_base AS seq_id,
+           sb.seq_base + sb.width - 1 AS end_seq_id,
+           sb.width AS n_seqs
+    FROM d
+    JOIN sb ON sb.shard = d.shard AND sb.eff = d.eff
+           AND sb.slot_idx = d.slot_idx
+    """
+
+
+def pack_efficiency(
+    docs: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Packing-layout scorecard: one row per mode with the two numbers a
+    training-loader owner actually trades off — sequence budget
+    utilization (tokens / (budget x sequences)) and split-rate (docs
+    crossing a sequence boundary). The contiguous stream is maximally
+    dense but splits boundary-straddling docs; the length-bucketed
+    layout splits only docs longer than the budget, paying padding.
+
+    (mode, n_docs, n_tokens, n_seqs, n_split_docs, efficiency)"""
+    out = None
+    for mode, layout in (
+        ("contiguous", pack_sequences(docs, budget, n_shards)),
+        ("bucketed", pack_bucketed(docs, budget, n_shards)),
+    ):
+        per_shard = layout.groupBy("shard").agg(
+            (F.max("end_seq_id") + 1).alias("shard_seqs")
+        )
+        seqs = per_shard.agg(F.sum("shard_seqs").alias("n_seqs"))
+        stats = layout.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).alias(
+                "n_split_docs"
+            ),
+        )
+        row = stats.crossJoin(seqs).select(
+            F.lit(mode).alias("mode"),
+            "n_docs", "n_tokens", "n_seqs", "n_split_docs",
+            F.round(
+                F.col("n_tokens") / (F.lit(budget) * F.col("n_seqs")), 6
+            ).alias("efficiency"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def pack_efficiency_sql(budget: int = 512, n_shards: int = 8) -> str:
+    def mode_sql(mode: str, layout_sql: str) -> str:
+        return f"""
+        SELECT '{mode}' AS mode,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               (SELECT CAST(sum(ms + 1) AS BIGINT)
+                FROM (SELECT shard, max(end_seq_id) AS ms
+                      FROM ({layout_sql}) GROUP BY shard)) AS n_seqs,
+               CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_split_docs,
+               round(sum(n_tok) * 1.0 /
+                     ({budget} * (SELECT sum(ms + 1)
+                                  FROM (SELECT shard, max(end_seq_id) AS ms
+                                        FROM ({layout_sql}) GROUP BY shard))),
+                     6) AS efficiency
+        FROM ({layout_sql})
+        """
+
+    return (
+        mode_sql("contiguous", pack_sequences_sql(budget, n_shards))
+        + " UNION ALL "
+        + mode_sql("bucketed", pack_bucketed_sql(budget, n_shards))
+    )

@@ -418,6 +418,18 @@ def q_pack_manifest(spark, sf):  # exploded (doc, occupied sequence) layout
     return C.pack_manifest(load(spark, sf, "documents"))
 
 
+def q_pack_bucketed(spark, sf):  # length-aware NO-SPLIT packing layout
+    from .analytics import curation as C
+
+    return C.pack_bucketed(load(spark, sf, "documents"))
+
+
+def q_pack_efficiency(spark, sf):  # per-mode utilization/split scorecard
+    from .analytics import curation as C
+
+    return C.pack_efficiency(load(spark, sf, "documents"))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -547,6 +559,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
+    "pack_bucketed": q_pack_bucketed,
+    "pack_efficiency": q_pack_efficiency,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -641,6 +655,8 @@ def _register_curation_oracles() -> None:
     ORACLES["stratified_sample"] = C.stratified_sample_sql()
     ORACLES["pack_sequences"] = C.pack_sequences_sql()
     ORACLES["pack_manifest"] = C.pack_manifest_sql()
+    ORACLES["pack_bucketed"] = C.pack_bucketed_sql()
+    ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
 
 
 _register_media_oracles()

@@ -150,6 +150,55 @@ def test_repetition_stats_flags_self_repeating_doc(spark):
     assert out[4].top_bigram_frac == 0.0 and out[4].dup_bigram_frac == 0.0
 
 
+def test_bucketed_packing_splits_only_oversized_docs(spark):
+    """On a long-doc fixture the contiguous stream splits whichever docs
+    straddle boundaries, while the length-bucketed layout splits ONLY
+    docs longer than the budget — the trade pack_efficiency reports."""
+    from newocr_spark.analytics.curation import (
+        pack_bucketed,
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    budget = 64
+    # letter-only words: the BPE-ish pre-tokenizer splits letter/digit
+    # runs, so "w0" would count as TWO tokens
+    word = "tok"
+    rows = (
+        # 40 docs of 48 tokens: straddle boundaries in a contiguous
+        # stream (48 does not divide 64) but pack 1-per-seq bucketed
+        [(i, " ".join(word for _ in range(48))) for i in range(40)]
+        # 3 oversized docs (150 tokens > budget): split in BOTH modes
+        + [(100 + i, " ".join(word for _ in range(150))) for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cont = pack_sequences(docs, budget=budget, n_shards=4)
+    buck = pack_bucketed(docs, budget=budget, n_shards=4)
+    n_split_cont = cont.filter("n_seqs > 1").count()
+    n_split_buck = buck.filter("n_seqs > 1").count()
+    assert n_split_buck == 3  # exactly the oversized docs
+    assert n_split_cont > n_split_buck  # the stream splits normal docs too
+    # bucketed seq ids are dense, non-overlapping per shard: every
+    # sequence holds at most floor(budget / n_tok) docs
+    from pyspark.sql import functions as F
+
+    occupancy = (
+        buck.filter("n_tok <= 64")
+        .select("shard", F.explode(F.sequence("seq_id", "end_seq_id")).alias("s"))
+        .groupBy("shard", "s")
+        .count()
+    )
+    assert occupancy.filter(F.col("count") > 64 // 48).count() == 0
+
+    eff = {r.mode: r for r in pack_efficiency(docs, budget=budget, n_shards=4).collect()}
+    assert eff["contiguous"].n_split_docs == n_split_cont
+    assert eff["bucketed"].n_split_docs == 3
+    # contiguous is denser (zero padding except stream tails); bucketed
+    # pays padding for its no-split guarantee
+    assert eff["contiguous"].efficiency >= eff["bucketed"].efficiency
+    assert eff["bucketed"].efficiency > 0.5
+
+
 def test_pasted_paragraph_flips_keep_only_under_char_fractions(spark):
     """The Gopher duplicate-n-gram CHARACTER rules catch long-range
     self-copy the count-based gates can't: a 20-token paragraph pasted 3x
