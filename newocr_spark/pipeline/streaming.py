@@ -268,6 +268,208 @@ def stream_assemble(
     return writer.start()
 
 
+def stream_dedup_neardup(
+    spark: SparkSession,
+    documents_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark_delay: str = "10 minutes",
+    horizon: str = "10 minutes",
+    ts_col: str = "ingested_at",
+    n: int = 2,
+    schema=None,
+    trigger_once: bool = True,
+):
+    """Continuous NEAR-duplicate suppression at ingestion: the streaming
+    subset of the batch MinHash+LSH path (`analytics/dedup.minhash_lsh_pairs`)
+    — band-signature equality as the streaming dedup key.
+
+    Per arriving document the MinHash signature is computed NARROWLY
+    (per-row `transform`/`array_min` over the shingle array — no shuffle,
+    no groupBy; same salted-h60/banding scheme as the batch path, so the
+    streaming key space is bit-identical to `dedup._band_rows`). Each doc
+    explodes into its N_BANDS (band, sig) keys; a doc is suppressed iff ANY
+    band signature was claimed by an earlier doc within the horizon — the
+    exact LSH candidate condition, evaluated incrementally.
+
+    This is semantically `dropDuplicatesWithinWatermark` keyed on band
+    signatures, but the built-in can't express it: per (band, sig) bucket
+    its surviving ROW is arbitrary, so two exact copies landing in one
+    micro-batch could split the four buckets between them and BOTH be
+    dropped. Instead a custom stateful operator (`applyInPandasWithState`
+    keyed on (band, sig)) claims each bucket for a deterministic winner
+    (earliest ts, then smallest doc_id), and a doc is emitted iff it won
+    ALL of its bands. State per bucket is one long (last-seen epoch-ms):
+
+      * bounded — EventTimeTimeout eviction when the watermark passes
+        last-seen + horizon, exactly like dropDuplicatesWithinWatermark's
+        state; at 100 TB state ≈ N_BANDS longs per distinct doc per
+        horizon, hash-partitioned across executors;
+      * horizon-exact on re-emission — a claim older than `horizon` in
+        event time is treated as expired even if the eviction timeout
+        hasn't fired yet, so a re-crawl after the horizon re-emits
+        deterministically rather than whenever state cleanup ran.
+
+    Docs too short to shingle (< n tokens) get a per-doc unique band key
+    (they never pair in the batch path either) and always pass. The final
+    keep-iff-all-bands-novel vote runs batch-locally in `foreachBatch`:
+    a doc's band rows are exploded from one source row, so they always
+    share a micro-batch. Emits (doc_id, text, ts) for kept docs.
+
+    Cites: banding layout dedup.py:_band_rows; salted minhash
+    dedup.py:_signatures_from; shingle window dedup.py:_shingles.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..analytics.dedup import N_BANDS, N_MINHASH
+
+    if schema is None:
+        schema = spark.read.parquet(documents_path).schema
+    horizon_ms = int(pd.Timedelta(horizon).total_seconds() * 1000)
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    rows_per_band = N_MINHASH // N_BANDS
+
+    stream = spark.readStream.schema(schema).parquet(documents_path)
+
+    # narrow per-row shingling (dedup._shingles semantics, sans distinct —
+    # min over a multiset equals min over its set). Project toks/shingles
+    # into columns first: referencing the split() expression inside the
+    # lambda defeats CSE across the lambda boundary (see dedup.py:93-97).
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingled = stream.withColumn("toks", toks).withColumn(
+        "shingles",
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+    def _mh(i: int):
+        # salted 60-bit hash, min over shingles — dedup._h60 inlined so the
+        # whole signature stays in one whole-stage-codegen projection
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+
+    sigs = shingled.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.col(ts_col).alias("ts"),
+        *[_mh(i).alias(f"mh{i}") for i in range(N_MINHASH)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.when(
+                    F.col("mh0").isNotNull(),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                ).otherwise(
+                    # sub-n-token docs have no signature and never pair
+                    # (dedup.py:478-479): give them a never-colliding key
+                    F.concat_ws(":", F.lit("uniq"), F.col("doc_id"))
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", "text", "ts", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id", "text", "ts",
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+
+    def _epoch_ms(ts) -> int:
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:  # same tz contract as stream_assemble
+            t = t.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
+        return int(t.timestamp() * 1000)
+
+    out_schema = "doc_id string, band int, text string, ts timestamp, novel boolean"
+    state_schema = "last_ms long"
+
+    def claim(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        arr_ms = rows["ts"].map(_epoch_ms)
+        prev_ms = state.get[0] if state.exists else None
+        # horizon-exact expiry: a claim older than the horizon in EVENT
+        # time no longer blocks, even if its eviction timeout hasn't fired
+        active = prev_ms is not None and int(arr_ms.min()) <= prev_ms + horizon_ms
+        novel_doc = None
+        if not active:
+            order = rows.assign(_ms=arr_ms).sort_values(["_ms", "doc_id"])
+            novel_doc = order.iloc[0]["doc_id"]
+        last_ms = max(int(arr_ms.max()), prev_ms or 0)
+        state.update((last_ms,))
+        state.setTimeoutTimestamp(
+            max(last_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        out = rows[["doc_id", "band", "text", "ts"]].copy()
+        out["novel"] = (
+            (rows["doc_id"] == novel_doc) if novel_doc is not None else False
+        )
+        yield out
+
+    claimed = bands.groupBy("band", "sig").applyInPandasWithState(
+        claim,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def emit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("novel"), 1).otherwise(0)).alias("n_novel"),
+                F.count("*").alias("n_bands"),
+                F.first("text").alias("text"),
+                F.first("ts").alias("ts"),
+            )
+            .filter(F.col("n_novel") == F.col("n_bands"))
+            .select("doc_id", "text", "ts")
+        )
+        kept.write.mode("append").parquet(output_path)
+
+    writer = (
+        claimed.writeStream.outputMode("append")
+        .foreachBatch(emit_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     documents_path: str,

@@ -458,3 +458,143 @@ def test_stream_dedup_exact_suppresses_within_watermark(spark, tmp_path):
     assert sorted(r.text for r in got) == ["alpha beta", "epsilon zeta", "gamma delta"]
     # the duplicate was suppressed, not re-emitted: doc 1 won, doc 3 absent
     assert sorted(r.doc_id for r in got) == [1, 2, 4]
+
+
+# near-dup streaming fixtures: NEARDUP_A/B share 2 of 4 band signatures
+# (verified via the batch path's _band_rows — same key space); DISTINCT
+# shares none with either.
+NEARDUP_A = (
+    "the quick brown fox jumps over the lazy dog and runs far away from home tonight"
+)
+NEARDUP_B = (
+    "the quick brown fox jumps over the lazy dog and runs far away from home today"
+)
+DISTINCT = "completely different content about spark structured streaming state stores"
+
+
+def test_stream_dedup_neardup_band_keys_match_batch_path(spark):
+    """The streaming key space IS the batch path's: the fixtures' band
+    overlap is exactly 2/4 and 0/4, pinned here so a banding change in
+    dedup.py can't silently decouple the two implementations."""
+    from collections import defaultdict
+
+    from newocr_spark.analytics.dedup import _band_rows, minhash_signatures
+
+    df = spark.createDataFrame(
+        [("a", NEARDUP_A), ("b", NEARDUP_B), ("c", DISTINCT)],
+        "doc_id string, text string",
+    )
+    sigs = defaultdict(set)
+    for r in _band_rows(minhash_signatures(df)).collect():
+        sigs[r.doc_id].add((r.band, r.sig))
+    assert len(sigs["a"] & sigs["b"]) == 2  # near-dups: SOME bands collide
+    assert len(sigs["a"] & sigs["c"]) == 0
+    assert len(sigs["b"] & sigs["c"]) == 0
+
+
+def test_stream_dedup_neardup_suppresses_across_batches(spark, tmp_path):
+    """Two near-identical docs in different micro-batches (different
+    drains, state restored from checkpoint): the later one is suppressed
+    because SOME of its band signatures were already claimed — the LSH
+    candidate condition, evaluated incrementally. Distinct docs pass."""
+    import datetime
+
+    from newocr_spark.pipeline.streaming import stream_dedup_neardup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, ingested_at timestamp"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = stream_dedup_neardup(
+            spark, src, out, ckpt,
+            watermark_delay="10 minutes", horizon="10 minutes",
+        )
+        q.awaitTermination(180)
+
+    drop([("a", NEARDUP_A, t0), ("short", "tiny", t0)])
+    drain()
+    drop(
+        [
+            ("b", NEARDUP_B, t0 + datetime.timedelta(seconds=30)),  # near-dup of a
+            ("c", DISTINCT, t0 + datetime.timedelta(seconds=30)),
+        ]
+    )
+    drain()
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # near-dup b suppressed; sub-n-token doc passes (no signature, never pairs)
+    assert set(got) == {"a", "short", "c"}
+
+
+def test_stream_dedup_neardup_same_batch_exact_dups_keep_exactly_one(
+    spark, tmp_path
+):
+    """Two exact copies in ONE micro-batch: the deterministic per-bucket
+    claimant (earliest ts, then smallest doc_id) wins ALL bands, so exactly
+    one copy is emitted — the case a plain dropDuplicatesWithinWatermark on
+    band keys gets wrong (arbitrary per-bucket survivor can split the bands
+    between the copies and drop BOTH)."""
+    import datetime
+
+    from newocr_spark.pipeline.streaming import stream_dedup_neardup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, ingested_at timestamp"
+
+    spark.createDataFrame(
+        [("x2", NEARDUP_A, t0), ("x1", NEARDUP_A, t0), ("y", DISTINCT, t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_neardup(spark, src, out, ckpt)
+    q.awaitTermination(180)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["x1", "y"]  # x1 < x2 → x1 claims every band
+
+
+def test_stream_dedup_neardup_reemits_past_horizon(spark, tmp_path):
+    """A duplicate arriving AFTER the horizon (event time) is re-emitted:
+    the claim has expired, so a re-crawl isn't suppressed forever. The
+    expiry check is event-time-exact, not dependent on when state cleanup
+    happened to run."""
+    import datetime
+
+    from newocr_spark.pipeline.streaming import stream_dedup_neardup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, ingested_at timestamp"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = stream_dedup_neardup(
+            spark, src, out, ckpt,
+            watermark_delay="1 minutes", horizon="1 minutes",
+        )
+        q.awaitTermination(180)
+
+    drop([("a", NEARDUP_A, t0)])
+    drain()
+    # 5 minutes later — well past the 1-minute horizon
+    drop([("a2", NEARDUP_A, t0 + datetime.timedelta(minutes=5))])
+    drain()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["a", "a2"]
