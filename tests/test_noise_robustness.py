@@ -1,0 +1,129 @@
+"""Noise-robustness harness: the reference's >= 98% accuracy bar
+(test/fonts/Accuracy.java:31) under perturbations the exact self-scan
+never exercises.
+
+The kernel has no noise handling (none exists to port), so these floors
+measure the EMERGENT tolerance of binarize -> CCL -> 17-segment features
+-> NN scoring, per trained face, at pinned per-face noise budgets. The
+budgets were characterized over 5-8 seeds offline; tests re-verify 3
+seeds each to bound runtime. Raising a budget requires re-measuring —
+the dominant failure mode (a salt void severing a comma/semicolon tail
+into two components that misread as quote/period fragments) is a step
+function in the noise rate, not a gradual decline.
+
+Per-face budget matrix (min accuracy across characterization seeds):
+
+  face     scale  salt      pepper_boundary  dilate(1px)
+  default    4    0.01=1.0     0.005=1.0      1.0
+  wide       4    0.03=0.99    0.005=1.0      1.0
+  serif      6    0.02=1.0     0.005=1.0      0.94 (EXCLUDED — see
+                                              test_serif_dilation_is_a_
+                                              face_change_not_noise)
+
+Serif needs scale 6: at scale 4 its thin-stroke pool is fragile to any
+interior dropout (salt 0.01 -> 0.96). Resolution, not the algorithm, is
+the lever — matching scanning practice (serif text is scanned at higher
+DPI).
+"""
+
+import numpy as np
+import pytest
+
+from newocr_spark.artifacts import get_model
+from newocr_spark.font.perturb import dilate, pepper_boundary, salt
+from newocr_spark.font.render import RAW_STRING, render_text_image
+from newocr_spark.kernel.grid import binarize
+from newocr_spark.kernel.metrics import line_accuracy
+from newocr_spark.kernel.scan import render_text, scan_grid
+
+SEEDS = (0, 1, 2)
+FLOOR = 0.98  # Accuracy.java:31
+
+
+def _accuracy(img, model) -> float:
+    got = render_text(scan_grid(binarize(img), model))
+    return line_accuracy(got.split("\n"), RAW_STRING)
+
+
+@pytest.fixture(scope="module")
+def faces():
+    from newocr_spark.font.glyphs import serif_face, wide_face
+    from newocr_spark.font.train import train_font
+
+    wide = wide_face()
+    serif = serif_face()
+    return {
+        # face key -> (render face or None for default, model, scale,
+        #              salt budget)
+        "default": (None, get_model(), 4, 0.01),
+        "wide": (wide, train_font(face=wide), 4, 0.03),
+        "serif": (serif, train_font(face=serif), 6, 0.02),
+    }
+
+
+def _render(face, scale):
+    if face is None:
+        return render_text_image([RAW_STRING], scale)
+    return render_text_image([RAW_STRING], scale, face)
+
+
+@pytest.mark.parametrize("name", ["default", "wide", "serif"])
+def test_salt_noise_holds_reference_floor(faces, name):
+    face, model, scale, budget = faces[name]
+    base = _render(face, scale)
+    for seed in SEEDS:
+        acc = _accuracy(salt(base, budget, seed), model)
+        assert acc >= FLOOR, (name, seed, acc)
+
+
+@pytest.mark.parametrize("name", ["default", "wide", "serif"])
+def test_pepper_boundary_holds_reference_floor(faces, name):
+    face, model, scale, _ = faces[name]
+    base = _render(face, scale)
+    for seed in SEEDS:
+        acc = _accuracy(pepper_boundary(base, 0.005, seed), model)
+        assert acc >= FLOOR, (name, seed, acc)
+
+
+@pytest.mark.parametrize("name", ["default", "wide"])
+def test_dilation_holds_reference_floor(faces, name):
+    face, model, scale, _ = faces[name]
+    acc = _accuracy(dilate(_render(face, scale)), model)
+    assert acc >= FLOOR, (name, acc)
+
+
+def test_serif_dilation_is_a_face_change_not_noise(faces):
+    """Documented exclusion: 1-px dilation on the serif face lands below
+    the floor — dilation merges its serifs into the strokes, which is a
+    different letterform (a bold variant), not additive noise. The
+    reference's answer to a bold variant is training it as its own font
+    (it ships six separately-trained fonts, fonts/Accuracy.java:34-77).
+    Pinned as a band so a kernel change that collapses recognition
+    entirely (or silently fixes it, invalidating this doc) is caught."""
+    face, model, scale, _ = faces["serif"]
+    acc = _accuracy(dilate(_render(face, scale)), model)
+    assert 0.85 <= acc < FLOOR, acc
+
+
+def test_perturbations_are_deterministic():
+    img = render_text_image([RAW_STRING], 2)
+    assert np.array_equal(salt(img, 0.02, 7), salt(img, 0.02, 7))
+    assert np.array_equal(
+        pepper_boundary(img, 0.02, 7), pepper_boundary(img, 0.02, 7)
+    )
+    # and actually perturb: budgets above flip a nonzero pixel count
+    assert (salt(img, 0.02, 7) != img).any()
+    assert (pepper_boundary(img, 0.02, 7) != img).any()
+    assert (dilate(img) != img).any()
+
+
+def test_perturbations_preserve_contract():
+    """Outputs stay binary uint8 white-255/black-0 (the renderer contract
+    the scan path consumes) and the noise moves in the stated direction."""
+    img = render_text_image([RAW_STRING], 2)
+    s, p, d = salt(img, 0.05, 3), pepper_boundary(img, 0.05, 3), dilate(img)
+    for out in (s, p, d):
+        assert out.dtype == np.uint8 and set(np.unique(out)) <= {0, 255}
+    assert (s == 0).sum() < (img == 0).sum()  # salt removes ink
+    assert (p == 0).sum() > (img == 0).sum()  # pepper adds ink
+    assert (d == 0).sum() > (img == 0).sum()  # dilation adds ink
