@@ -136,6 +136,32 @@ CHECKS = {
         ["ArrowEvalPython", "Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "pack_bucketed": (
+        "no-split layout: same ONE shuffle by shard as the contiguous "
+        "mode plus per-(shard, length) row_number and a prefix-sum over "
+        "the distinct slot list; only (doc_id, n_tok) rides exchanges — "
+        "text never does",
+        ["Window", "Exchange"],
+    ),
+    "pack_efficiency": (
+        "scorecard over both layouts: per-shard max + global sums are "
+        "partial hash-aggregates; the mode rows union",
+        ["HashAggregate", "Union"],
+    ),
+    "neardup_lsh_precision": (
+        "certification anti-join: LSH pairs minus exact pairs on id "
+        "columns only — both kernels stay Arrow-batched, no cross "
+        "product, no pair-row blowup outside the bounded kernels",
+        ["Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "ann_cosine_check": (
+        "score certification: ANN outputs rejoin embeddings (query side "
+        "broadcast) and recompute the cosine in-plan; the two method "
+        "branches union — no cross product",
+        ["BroadcastHashJoin", "Union"],
+        ["CartesianProduct"],
+    ),
 }
 
 
