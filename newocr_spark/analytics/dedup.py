@@ -459,6 +459,65 @@ def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
     return _signatures_from(_shingles(docs, n))
 
 
+def band_index(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures — the PERSISTED dedup index
+    of an incremental pipeline. Fully deterministic (salted-md5 minhash,
+    no RNG), so an index built last month and one rebuilt today agree
+    bit-for-bit; store it partitioned/bucketed by (band, sig) so the daily
+    `incremental_neardup` join never shuffles the index side."""
+    return _band_rows(_signatures_from(_shingles(docs, n)))
+
+
+def incremental_neardup(
+    new_docs: DataFrame, seen_bands: DataFrame, n: int = 2
+) -> DataFrame:
+    """Incremental near-dup dedup: gate a crawl INCREMENT against the
+    persisted band-signature index of everything already ingested —
+    the 100 TB production shape, where re-running LSH over the full
+    corpus per increment (`minhash_lsh_pairs`) would re-shuffle history
+    that cannot have changed. Suppression is the LSH candidate
+    condition — a doc whose band signature collides with ANY indexed
+    band is a near-dup of history (same semantics as the streaming
+    twin, pipeline/streaming.stream_dedup_neardup; this is its batch
+    backfill complement). Within-increment duplicates are deliberately
+    out of scope — run `dup_clusters` on the (small) increment for
+    those, then append the survivors' `band_index` rows to the store.
+
+    Per new doc: (doc_id, n_bands, n_hit_bands, keep) with
+    keep = no band collided. Docs too short to shingle have no bands and
+    always pass (they never pair in any of the LSH paths).
+
+    100 TB shape: the index side is touched ONLY by an equi-join on
+    (band, sig) after an id-free distinct — with the store bucketed on
+    (band, sig) both collapse to shuffle-free per-bucket merges, and the
+    (tiny) increment is the only side that moves. Hit counting joins the
+    increment's own band rows, so index hot buckets (many historical
+    docs sharing a signature) cannot fan out: distinct caps the index at
+    one row per signature."""
+    inc_bands = band_index(new_docs, n)
+    idx = (
+        seen_bands.select("band", "sig").distinct().withColumn("hit", F.lit(1))
+    )
+    hits = (
+        inc_bands.join(idx, ["band", "sig"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bands"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit_bands"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bands", F.lit(0)).cast("long").alias("n_bands"),
+            F.coalesce("n_hit_bands", F.lit(0)).cast("long").alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -768,13 +827,16 @@ def jaccard_pairs_sql(threshold: float = 0.5) -> str:
     """
 
 
-def minhash_lsh_sql(threshold: float = 0.5) -> str:
-    mh_cols = ", ".join(
+def _mh_cols_sql() -> str:
+    return ", ".join(
         f"min({H60_SQL.format(x=repr(str(i)) + ' || ' + chr(39) + ':' + chr(39) + ' || shingle')}) AS mh{i}"
         for i in range(N_MINHASH)
     )
+
+
+def _band_selects_sql() -> str:
     rows_per_band = N_MINHASH // N_BANDS
-    band_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM sigs".format(
             b=b,
             concat=" || ',' || ".join(
@@ -784,6 +846,49 @@ def minhash_lsh_sql(threshold: float = 0.5) -> str:
         )
         for b in range(N_BANDS)
     )
+
+
+def bands_sql(table: str = "documents", n: int = 2) -> str:
+    """(doc_id, band, sig) over an arbitrary table expression — the SQL
+    mirror of `band_index` (oracle building block)."""
+    return f"""
+    WITH sh AS ({shingles_sql(n=n, table=table)}),
+    sigs AS (SELECT doc_id, {_mh_cols_sql()} FROM sh GROUP BY doc_id)
+    SELECT doc_id, band, sig FROM ({_band_selects_sql()}) b
+    """
+
+
+def incremental_neardup_sql(n_buckets: int = 4, history_lt: int = 3) -> str:
+    """Oracle for the contract's history/increment split of `documents`:
+    band signatures are deterministic, so DuckDB reproduces the whole
+    incremental gate exactly (split, index, collision counts, keep)."""
+    h = H60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    hist = f"(SELECT doc_id, text FROM documents WHERE {h} % {n_buckets} < {history_lt}) h"
+    inc = f"(SELECT doc_id, text FROM documents WHERE {h} % {n_buckets} >= {history_lt}) i"
+    return f"""
+    WITH hist_bands AS ({bands_sql(table=hist)}),
+    inc_bands AS ({bands_sql(table=inc)}),
+    idx AS (SELECT DISTINCT band, sig FROM hist_bands),
+    hits AS (
+      SELECT b.doc_id, count(*) AS n_bands,
+             sum(CASE WHEN x.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM inc_bands b
+      LEFT JOIN idx x ON b.band = x.band AND b.sig = x.sig
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_bands, 0) AS BIGINT) AS n_bands,
+           CAST(coalesce(t.n_hit, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(t.n_hit, 0) = 0 AS keep
+    FROM (SELECT doc_id FROM documents
+          WHERE {h} % {n_buckets} >= {history_lt}) d
+    LEFT JOIN hits t USING (doc_id)
+    """
+
+
+def minhash_lsh_sql(threshold: float = 0.5) -> str:
+    mh_cols = _mh_cols_sql()
+    band_selects = _band_selects_sql()
     return f"""
     WITH sh AS ({shingles_sql()}),
     sigs AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),

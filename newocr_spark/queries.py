@@ -353,6 +353,17 @@ def q_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.5)
 
 
+def q_incremental_neardup(spark, sf):
+    # incremental-crawl gate: 3/4 of documents play the already-ingested
+    # corpus (its persisted band index), 1/4 the new increment; the split
+    # hash matches the oracle's bucket expression exactly
+    docs = load(spark, sf, "documents")
+    bucket = F.pmod(D._h60(F.col("doc_id").cast("string")), F.lit(4))
+    history = docs.filter(bucket < 3)
+    increment = docs.filter(bucket >= 3)
+    return D.incremental_neardup(increment, D.band_index(history))
+
+
 def q_simhash(spark, sf):
     return D.simhash_docs(load(spark, sf, "documents"))
 
@@ -546,6 +557,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "incremental_neardup": q_incremental_neardup,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
@@ -613,6 +625,7 @@ ORACLES = {
     "dedup_exact": D.EXACT_DUP_SQL,
     "ngram_jaccard": D.jaccard_pairs_sql(0.5),
     "minhash_lsh": D.minhash_lsh_sql(0.5),
+    "incremental_neardup": D.incremental_neardup_sql(),
     "simhash": D.simhash_sql(),
     "dedup_clusters": D.dup_clusters_sql(0.5),
     "lang_id": T.lang_id_sql(),

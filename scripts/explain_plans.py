@@ -155,6 +155,13 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "incremental_neardup": (
+        "index side reduced to an id-free distinct then an equi-join on "
+        "(band, sig); hit counting aggregates the increment's own band "
+        "rows — no cross product, history never fans out",
+        ["Join", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "ann_cosine_check": (
         "score certification: ANN outputs rejoin embeddings (query side "
         "broadcast) and recompute the cosine in-plan; the two method "
