@@ -34,10 +34,11 @@ BENCH_QUERIES = (
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
     "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
+    "incremental_neardup",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
     "repetition_stats",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
-    "pack_manifest",
+    "pack_manifest", "pack_bucketed", "pack_efficiency",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
     "neardup_recall",
 )

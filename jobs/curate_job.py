@@ -11,7 +11,15 @@ Pipeline (each stage is the registered contract operator, so the whole
 job is declarative where the operator is, and shapes are the 100 TB ones
 documented in analytics/curation.py / analytics/dedup.py):
 
-  near-dup cluster resolution (MinHash-LSH → connected components;
+  [incremental mode] gate the input against a persisted band-signature
+      index (--band-index; dedup.incremental_neardup) — a daily crawl
+      increment never re-LSHes history; docs colliding with any indexed
+      band are near-dups of prior ingests and drop here. The dedup-stage
+      survivors' bands union into the index at --write-band-index (must
+      differ from --band-index: parquet can't overwrite its own input —
+      an Iceberg store would append instead), making re-crawls
+      idempotent across job runs.
+  → near-dup cluster resolution (MinHash-LSH → connected components;
       exact duplicates are collapsed by content hash BEFORE banding, so
       boilerplate-heavy crawls — 30-50% exact copies — never produce
       B^2 band candidates; --max-bucket-size additionally sidelines
@@ -56,13 +64,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--shards", type=int, default=4096)
     p.add_argument("--no-repetition-gate", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--band-index", default=None)
+    p.add_argument("--write-band-index", default=None)
     args = p.parse_args(argv)
+    if args.write_band_index and args.write_band_index == args.band_index:
+        raise SystemExit(
+            "--write-band-index must differ from --band-index (parquet "
+            "cannot overwrite its own input; an Iceberg store would append)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from newocr_spark.analytics import curation as C
-    from newocr_spark.analytics.dedup import dup_clusters
+    from newocr_spark.analytics.dedup import (
+        band_index, dup_clusters, incremental_neardup,
+    )
 
     owns_session = spark is None
     if owns_session:
@@ -71,6 +88,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     docs = spark.read.parquet(args.documents)
+
+    # 0. incremental mode: gate against the persisted band index — docs
+    # near-duplicating PRIOR ingests drop before any heavy stage runs
+    if args.band_index:
+        seen = spark.read.parquet(args.band_index)
+        admitted = (
+            incremental_neardup(docs, seen)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        docs = docs.join(admitted, "doc_id", "left_semi")
 
     # 1. near-dup clusters: drop every clustered doc except its canonical
     clusters = dup_clusters(
@@ -82,6 +110,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "doc_id"
     )
     kept = docs.join(drop_dups, "doc_id", "left_anti")
+
+    # the index covers the DEDUP-stage survivors: future increments
+    # near-duplicating anything admitted here are suppressed at stage 0
+    # (quality-gated docs are left out — their re-crawls re-gate cheaply)
+    if args.write_band_index:
+        new_bands = band_index(kept)
+        if args.band_index:
+            new_bands = spark.read.parquet(args.band_index).unionByName(
+                new_bands
+            )
+        new_bands.write.mode("overwrite").parquet(args.write_band_index)
 
     # 2. benchmark decontamination: drop the benchmark slice itself (eval
     # docs are not training data) and every training doc overlapping it.

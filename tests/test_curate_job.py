@@ -73,3 +73,58 @@ def test_curate_job_deterministic_across_runs(spark, tmp_path):
     a = spark.read.parquet(out_a).orderBy("doc_id").collect()
     b = spark.read.parquet(out_b).orderBy("doc_id").collect()
     assert a == b  # hash-bucket sampling + hash packing: no RNG state anywhere
+
+
+def test_curate_job_incremental_band_index(spark, tmp_path):
+    """Two-increment crawl: run 1 writes the band index; run 2, gated by
+    it (--band-index), drops re-crawled copies of run-1 docs before any
+    heavy stage, keeps novel docs, and maintains the index."""
+    docs = spark.read.parquet(SF_DOCS)
+    inc1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) < 2)
+    rest = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) >= 2)
+    # increment 2 = re-crawls of 5 increment-1 docs (new ids) + novel docs
+    recrawled = (
+        inc1.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    inc2 = rest.unionByName(recrawled)
+    p1, p2 = str(tmp_path / "inc1"), str(tmp_path / "inc2")
+    inc1.write.parquet(p1)
+    inc2.write.parquet(p2)
+    idx1 = str(tmp_path / "bands1")
+    idx2 = str(tmp_path / "bands2")
+    flags = ("--benchmark-mod", "0", "--no-repetition-gate")
+
+    import curate_job
+
+    n1 = curate_job.main(
+        ["--documents", p1, "--output", str(tmp_path / "out1"),
+         "--shards", "4", "--write-band-index", idx1, *flags],
+        spark=spark,
+    )
+    assert n1 > 0
+    n2 = curate_job.main(
+        ["--documents", p2, "--output", str(tmp_path / "out2"),
+         "--shards", "4", "--band-index", idx1,
+         "--write-band-index", idx2, *flags],
+        spark=spark,
+    )
+    out2 = spark.read.parquet(str(tmp_path / "out2"))
+    # every re-crawled copy was suppressed by the index gate
+    assert out2.filter(F.col("doc_id") >= 10_000_000).count() == 0
+    assert 0 < n2 == out2.count()
+    # the updated index covers BOTH increments' admitted docs
+    idx = spark.read.parquet(idx2)
+    assert idx.count() > spark.read.parquet(idx1).count()
+
+
+def test_curate_job_rejects_self_overwriting_index(spark, tmp_path):
+    import curate_job
+
+    with pytest.raises(SystemExit):
+        curate_job.main(
+            ["--documents", SF_DOCS, "--output", str(tmp_path / "o"),
+             "--band-index", str(tmp_path / "b"),
+             "--write-band-index", str(tmp_path / "b")],
+            spark=spark,
+        )
