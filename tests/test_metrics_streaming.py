@@ -598,3 +598,46 @@ def test_stream_dedup_neardup_reemits_past_horizon(spark, tmp_path):
 
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == ["a", "a2"]
+
+
+def test_stream_ingest_job_end_to_end(spark, tmp_path):
+    """The spark-submit streaming entry (jobs/stream_ingest_job.py),
+    driven in-process: two drains over a growing directory; the second
+    run resumes from the checkpoint and its near-dup is suppressed."""
+    import datetime
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+        ),
+    )
+    import stream_ingest_job
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "ingested")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, ingested_at timestamp"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        return stream_ingest_job.main(
+            ["--documents", src, "--output", out, "--checkpoint", ckpt,
+             "--mode", "neardup", "--timeout-sec", "180"],
+            spark=spark,
+        )
+
+    drop([("a", NEARDUP_A, t0)])
+    assert run() == 1
+    drop([("b", NEARDUP_B, t0 + datetime.timedelta(seconds=30)),
+          ("c", DISTINCT, t0 + datetime.timedelta(seconds=30))])
+    assert run() == 2  # b suppressed; a + c admitted
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["a", "c"]
