@@ -116,6 +116,76 @@ def doc_quality_sql() -> str:
     """
 
 
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Per-source corpus-mix scorecard — the table a pre-training data
+    owner sets mixing weights from: how much of the corpus each source
+    contributes (doc and char share), how good it is (mean quality
+    score, doc_quality's formula), and how language-diverse it is.
+
+    100 TB shape: one narrow projection (the quality expressions fuse
+    into the scan) feeding a (source) hash-aggregate with map-side
+    partials — source cardinality is tiny (domains/registers), so the
+    reduce side is trivial; the corpus-total denominators come from a
+    broadcast single-row crossJoin, not a second scan-wide shuffle."""
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        (
+            (
+                F.lit(1.0)
+                - (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+                )
+                / F.length("text")
+            )
+            * F.least(
+                F.lit(1.0), F.size(_tokens(F.col("text"))) / F.lit(20.0)
+            )
+        ).alias("q"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_chars").alias("tot_chars")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "n_chars", "avg_quality", "n_langs",
+            F.round(F.col("n_docs") / F.col("tot_docs"), 6).alias("doc_share"),
+            F.round(F.col("n_chars") / F.col("tot_chars"), 6).alias("char_share"),
+        )
+    )
+
+
+def source_mix_sql() -> str:
+    return """
+    WITH per_doc AS (
+      SELECT source, lang, length(text) AS n_chars,
+             (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                    * 1.0 / length(text))
+             * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 20.0) AS q
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
+             round(avg(q), 6) AS avg_quality,
+             count(DISTINCT lang) AS n_langs
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_chars, avg_quality, n_langs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS doc_share,
+           round(n_chars * 1.0 / sum(n_chars) OVER (), 6) AS char_share
+    FROM per_source
+    """
+
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
 # (the GPT-2 pre-tokenizer's shape without the byte-level merge table)
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -392,6 +392,10 @@ def q_corpus_curation(spark, sf):  # composed pipeline: dedup -> lang -> quality
     return T.corpus_curation(load(spark, sf, "documents"))
 
 
+def q_source_mix(spark, sf):  # per-source corpus-mix scorecard
+    return T.source_mix(load(spark, sf, "documents"))
+
+
 def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
     return T.repetition_stats(load(spark, sf, "documents"))
 
@@ -566,6 +570,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "corpus_curation": q_corpus_curation,
     "repetition_stats": q_repetition_stats,
+    "source_mix": q_source_mix,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -634,6 +639,7 @@ ORACLES = {
     "token_counts": T.token_counts_sql(),
     "corpus_curation": T.corpus_curation_sql(),
     "repetition_stats": T.repetition_stats_sql(),
+    "source_mix": T.source_mix_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
     # must-be-empty certifications: the SQL-checkable halves of the

@@ -155,6 +155,12 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "source_mix": (
+        "quality expressions fuse into the scan; one (source) "
+        "hash-aggregate with map-side partials; corpus totals arrive by "
+        "broadcast single-row crossJoin, not a second scan-wide shuffle",
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+    ),
     "incremental_neardup": (
         "index side reduced to an id-free distinct then an equi-join on "
         "(band, sig); hit counting aggregates the increment's own band "
