@@ -174,7 +174,8 @@ def source_mix_sql() -> str:
       FROM documents
     ),
     per_source AS (
-      SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars,
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
              round(avg(q), 6) AS avg_quality,
              count(DISTINCT lang) AS n_langs
       FROM per_doc GROUP BY source
