@@ -152,6 +152,31 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
     # whole documents table (narrow maps — the numbers scale with corpus
     # size); web_extract keeps its contract cap (OCR-bound end-to-end
     # path, already measured above).
+    # duplicate-heavy dedup (hot-bucket evidence): every sf doc replicated
+    # DUP_COPIES times with distinct ids — the 30-50%-exact-copy shape of a
+    # real crawl, concentrated. Pre-collapse, banding raw docs emitted
+    # copies^2/2 candidates per distinct text (the job that never finishes
+    # at 100 TB); post-collapse (dedup._rep_pairs) candidate volume equals
+    # the unreplicated corpus's, so this entry should track dedup_clusters
+    # plus the linear exact-group/expansion cost of 20x the rows — NOT 400x
+    # its wall. tests/test_dedup_hotbucket.py pins the candidate counts;
+    # this entry records the wall-clock consequence every round.
+    from newocr_spark.analytics import dedup as D
+
+    DUP_COPIES = 20
+
+    def _dupheavy():
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        copies = spark.range(DUP_COPIES).select(F.col("id").alias("rep"))
+        corpus = base.crossJoin(copies).select(
+            (F.col("doc_id") * DUP_COPIES + F.col("rep")).alias("doc_id"),
+            "text",
+        ).repartition(cpus)
+        return D.dup_clusters(corpus)
+
+    runnables["dedup_dupheavy"] = _dupheavy
     runnables.update(
         {
             "html_main_text": lambda: W.q_html_main_text(
@@ -257,6 +282,16 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             "docs": int(n_web_docs),
             "html_docs_per_sec": round(n_web_docs / timings["html_main_text"], 2),
             "pdf_docs_per_sec": round(n_web_docs / timings["pdf_extract"], 2),
+        },
+        "dupheavy": {
+            "docs": int(n_web_docs) * DUP_COPIES,
+            "copies": DUP_COPIES,
+            "docs_per_sec": round(
+                n_web_docs * DUP_COPIES / timings["dedup_dupheavy"], 2
+            ),
+            "vs_dedup_clusters": round(
+                timings["dedup_dupheavy"] / max(timings["dedup_clusters"], 1e-9), 2
+            ),
         },
         # min-over-alternating-cycles protocol: per-query noise flags
         # (max/min across spaced observations where cycles disagreed >3x —
