@@ -127,6 +127,16 @@ def _ocr_extract_serif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ocr_extract_face(spark, sf_dir, "SparkGridSerif", OCR_WIDE_MAX_DOCS)
 
 
+def _ocr_extract_wideserif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth trained font (SparkGridWideSerif): the serif glyph set under
+    the proven 1.5x horizontal stretch, completing a 2x2 narrow/wide x
+    sans/serif metric grid — four certified faces vs the reference's six
+    (test/fonts/Font*.java via fonts/Accuracy.java:34-77). Every X-based
+    trained ratio (apostrophe gate, space insertion) runs at a fourth
+    operating point. Recognition must still be exact."""
+    return _ocr_extract_face(spark, sf_dir, "SparkGridWideSerif", OCR_WIDE_MAX_DOCS)
+
+
 def _ocr_sql(max_docs: int) -> str:
     return f"""
 WITH base AS (
@@ -152,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_extract"] = _ocr_extract
     out["ocr_extract_wide"] = _ocr_extract_wide
     out["ocr_extract_serif"] = _ocr_extract_serif
+    out["ocr_extract_wideserif"] = _ocr_extract_wideserif
     out["ocr_assembled"] = _ocr_assembled
     return out
 
@@ -163,5 +174,6 @@ def oracle_sql() -> dict[str, str]:
     out["ocr_extract"] = OCR_EXTRACT_SQL
     out["ocr_extract_wide"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_extract_serif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
+    out["ocr_extract_wideserif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_assembled"] = OCR_ASSEMBLED_SQL
     return out

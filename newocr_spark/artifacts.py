@@ -3,9 +3,11 @@
 The SparkGrid font models are fully deterministic (seeded glyphs, fixed
 trainer), so the trained tables are committed under newocr_spark/data/ and
 loaded at runtime; train_font() regenerates bit-identical tables (asserted
-in tests/test_recognition.py). Two faces are shipped — the engine's
+in tests/test_recognition.py). Four faces are shipped — the engine's
 analogue of the reference's per-font trained DBs (Accuracy.java trains one
-HSQLDB per font): "SparkGrid" and the width-doubled "SparkGridWide"."""
+HSQLDB per font): "SparkGrid", the 1.5x-stretched "SparkGridWide", the
+topology-distinct "SparkGridSerif", and the stretched-serif
+"SparkGridWideSerif" (a 2x2 narrow/wide x sans/serif metric grid)."""
 
 from __future__ import annotations
 
@@ -21,6 +23,7 @@ _DIRS = {
     "SparkGrid": DATA_DIR,
     "SparkGridWide": os.path.join(_BASE, "font_model_wide"),
     "SparkGridSerif": os.path.join(_BASE, "font_model_serif"),
+    "SparkGridWideSerif": os.path.join(_BASE, "font_model_wideserif"),
 }
 
 

@@ -504,8 +504,39 @@ def serif_face() -> FontFace:
     return _SERIF
 
 
+_WIDE_SERIF: FontFace | None = None
+
+
+def wide_serif_face() -> FontFace:
+    """SparkGridWideSerif: the serif glyph set under the proven 1.5x
+    horizontal stretch, completing a 2x2 face grid (narrow/wide x
+    sans/serif) — four certified faces vs the reference's six
+    (test/fonts/Font*.java via fonts/Accuracy.java:34-77). Every X-based
+    trained ratio shifts vs ALL three other faces (apostropheRatio
+    1.5, was 2.5 / 1.667 / 2.0; space w/h 0.875, was
+    0.437 / 0.656 / 0.625; every avg width/height aspect 1.5x the serif
+    one), while the Y-axis merge windows inherit the serif operating
+    points (colonDistance 2.0, distancei 0.2) — so the scan gates run at
+    a fourth distinct corner of the metric space. Gate safety: _widen
+    preserves 8-connectivity (column duplication) and all the serif
+    face's Y-axis invariants verbatim (X-stretch never moves a row); the
+    apostrophe gate passes because the trained gap-based ratio and the
+    scan's x-to-x distance scale together under the stretch, exactly as
+    proven for SparkGridWide at 1.5x (OCRTrain.java:163-165 vs
+    ApostropheMergeRule.java:88-89 unit quirk)."""
+    global _WIDE_SERIF
+    if _WIDE_SERIF is None:
+        s = serif_face()
+        glyphs = {ch: _widen(g) for ch, g in s.glyphs.items()}
+        _WIDE_SERIF = FontFace(
+            "SparkGridWideSerif", glyphs, s.space_width + 3, s.tracking + 1
+        )
+    return _WIDE_SERIF
+
+
 FACES = {
     "SparkGrid": lambda: DEFAULT_FACE,
     "SparkGridWide": wide_face,
     "SparkGridSerif": serif_face,
+    "SparkGridWideSerif": wide_serif_face,
 }

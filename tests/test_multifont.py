@@ -181,3 +181,90 @@ def test_default_face_unchanged(narrow_model):
     png = render_text_png(["Hello, World! 42"], 2)
     assert scan_image_bytes(png, narrow_model) == "Hello, World! 42"
     assert wide_face().glyphs["A"].shape[1] == DEFAULT_FACE.glyphs["A"].shape[1] * 3 // 2
+
+
+# ---------------------------------------------------------------------------
+# SparkGridWideSerif — fourth face: the serif glyph set under the proven
+# 1.5x horizontal stretch, completing a 2x2 narrow/wide x sans/serif metric
+# grid (the engine's analogue of the reference certifying six metrically
+# distinct fonts, fonts/Accuracy.java:34-77). Every X-based trained ratio
+# occupies a fourth corner of the metric space; the Y-axis merge windows
+# inherit the serif operating points.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wideserif_model():
+    return get_model("SparkGridWideSerif")
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 5])
+def test_wideserif_self_scan_exact(wideserif_model, scale):
+    from newocr_spark.font.glyphs import wide_serif_face
+
+    for text in (RAW_STRING, MERGE_HEAVY, "Hello, World! 42"):
+        png = render_text_png([text], scale, face=wide_serif_face())
+        got = scan_image_bytes(png, wideserif_model)
+        assert got == text.rstrip(), f"scale {scale}: {got!r}"
+
+
+def test_wideserif_fourth_metric_corner(
+    wideserif_model, serif_model, narrow_model, wide_model
+):
+    """X-based ratios must differ from ALL three other faces (fourth
+    operating point for the apostrophe gate and space insertion); Y-axis
+    merge distances are shared with the serif parent (X-stretch never
+    moves a row), exactly as SparkGridWide shares them with SparkGrid."""
+    ws = wideserif_model
+    assert ws.meta["apostropheRatio"] == pytest.approx(1.5)
+    for other in (serif_model, narrow_model, wide_model):
+        assert abs(ws.meta["apostropheRatio"] - other.meta["apostropheRatio"]) > 0.1
+    # space aspect: a fourth distinct value (0.875 vs 0.437 / 0.656 / 0.625)
+    row = ws.row(" ", 0)
+    aspect = ws.avg_width[row] / ws.avg_height[row]
+    assert aspect == pytest.approx(0.875)
+    for other in (serif_model, narrow_model, wide_model):
+        o = other.row(" ", 0)
+        assert abs(aspect - other.avg_width[o] / other.avg_height[o]) > 0.03
+    # Y-axis distances inherited from the serif parent, distinct from narrow
+    for name in ("distancei", "colonDistance", "equalsDistance",
+                 "distanceQuestion"):
+        assert ws.meta[name] == pytest.approx(serif_model.meta[name])
+        assert abs(ws.meta[name] - narrow_model.meta[name]) > 0.02
+    # every glyph is exactly the serif glyph under even-column duplication:
+    # width w -> w + ceil(w/2) (exactly 1.5x only for even w), height fixed
+    from newocr_spark.font.glyphs import serif_face, wide_serif_face
+
+    for ch in ("A", "W", "|", "g"):
+        s_g = serif_face().glyphs[ch]
+        ws_g = wide_serif_face().glyphs[ch]
+        h, w = s_g.shape
+        assert ws_g.shape == (h, w + (w + 1) // 2)
+    a_ws, a_s = ws.row("A", 0), serif_model.row("A", 0)
+    w = serif_face().glyphs["A"].shape[1]
+    assert ws.avg_width[a_ws] == pytest.approx(
+        serif_model.avg_width[a_s] * (w + (w + 1) // 2) / w
+    )
+    assert ws.avg_height[a_ws] == pytest.approx(serif_model.avg_height[a_s])
+
+
+def test_wideserif_wrong_model_misreads(wideserif_model, serif_model):
+    """The stretch changes spacing/aspect enough that the serif parent's
+    trained tables cannot reproduce wide-serif renders."""
+    from newocr_spark.font.glyphs import wide_serif_face
+
+    text = "i j : = W  W"
+    png = render_text_png([text], 2, face=wide_serif_face())
+    assert scan_image_bytes(png, wideserif_model) == text
+    assert scan_image_bytes(png, serif_model) != text
+
+
+def test_wideserif_committed_model_matches_trainer(wideserif_model):
+    from newocr_spark.font.glyphs import wide_serif_face
+    from newocr_spark.font.train import train_font
+
+    fresh = train_font(face=wide_serif_face())
+    assert fresh.letters == wideserif_model.letters
+    assert np.array_equal(fresh.segments, wideserif_model.segments)
+    assert fresh.meta == wideserif_model.meta
+    assert fresh.custom_spaces == wideserif_model.custom_spaces
