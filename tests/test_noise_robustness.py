@@ -13,17 +13,24 @@ function in the noise rate, not a gradual decline.
 
 Per-face budget matrix (min accuracy across characterization seeds):
 
-  face     scale  salt      pepper_boundary  dilate(1px)
-  default    4    0.01=1.0     0.005=1.0      1.0
-  wide       4    0.03=0.99    0.005=1.0      1.0
-  serif      6    0.02=1.0     0.005=1.0      0.94 (EXCLUDED — see
-                                              test_serif_dilation_is_a_
-                                              face_change_not_noise)
+  face      scale  salt      pepper_boundary  dilate(1px)
+  default     4    0.01=1.0     0.005=1.0      1.0
+  wide        4    0.03=0.99    0.005=1.0      1.0
+  serif       6    0.02=1.0     0.005=1.0      0.94 (EXCLUDED — see
+                                               test_serif_dilation_is_a_
+                                               face_change_not_noise)
+  wideserif   6    0.01=1.0     0.005=0.98*    1.0
+                   (*11/12 characterization seeds 1.0; one seed severs a
+                    single serif tail -> 0.9794, the step-function mode
+                    above — the 3 verified seeds are all 1.0)
 
 Serif needs scale 6: at scale 4 its thin-stroke pool is fragile to any
 interior dropout (salt 0.01 -> 0.96). Resolution, not the algorithm, is
 the lever — matching scanning practice (serif text is scanned at higher
-DPI).
+DPI). The wide-serif face passes DILATION at scale 6 even though its
+serif parent fails it: the 1.5x stretch moves the serif caps apart, so
+1-px dilation no longer merges them into a bold letterform — geometry,
+not the kernel, decides which perturbations are survivable.
 """
 
 import numpy as np
@@ -47,17 +54,19 @@ def _accuracy(img, model) -> float:
 
 @pytest.fixture(scope="module")
 def faces():
-    from newocr_spark.font.glyphs import serif_face, wide_face
+    from newocr_spark.font.glyphs import serif_face, wide_face, wide_serif_face
     from newocr_spark.font.train import train_font
 
     wide = wide_face()
     serif = serif_face()
+    wideserif = wide_serif_face()
     return {
         # face key -> (render face or None for default, model, scale,
         #              salt budget)
         "default": (None, get_model(), 4, 0.01),
         "wide": (wide, train_font(face=wide), 4, 0.03),
         "serif": (serif, train_font(face=serif), 6, 0.02),
+        "wideserif": (wideserif, train_font(face=wideserif), 6, 0.01),
     }
 
 
@@ -67,7 +76,7 @@ def _render(face, scale):
     return render_text_image([RAW_STRING], scale, face)
 
 
-@pytest.mark.parametrize("name", ["default", "wide", "serif"])
+@pytest.mark.parametrize("name", ["default", "wide", "serif", "wideserif"])
 def test_salt_noise_holds_reference_floor(faces, name):
     face, model, scale, budget = faces[name]
     base = _render(face, scale)
@@ -76,7 +85,7 @@ def test_salt_noise_holds_reference_floor(faces, name):
         assert acc >= FLOOR, (name, seed, acc)
 
 
-@pytest.mark.parametrize("name", ["default", "wide", "serif"])
+@pytest.mark.parametrize("name", ["default", "wide", "serif", "wideserif"])
 def test_pepper_boundary_holds_reference_floor(faces, name):
     face, model, scale, _ = faces[name]
     base = _render(face, scale)
@@ -85,7 +94,7 @@ def test_pepper_boundary_holds_reference_floor(faces, name):
         assert acc >= FLOOR, (name, seed, acc)
 
 
-@pytest.mark.parametrize("name", ["default", "wide"])
+@pytest.mark.parametrize("name", ["default", "wide", "wideserif"])
 def test_dilation_holds_reference_floor(faces, name):
     face, model, scale, _ = faces[name]
     acc = _accuracy(dilate(_render(face, scale)), model)
