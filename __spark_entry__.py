@@ -11,8 +11,14 @@ oracle_sql()       — DuckDB-equivalent SQL per query. The OCR flagship IS
                      oracle-checked: the oracle reconstructs the expected
                      span table in pure SQL (recognized text must equal the
                      rendered source text), so CORRECTNESS_r{N} directly
-                     gates recognition fidelity. 'ann_lsh' (seeded
-                     hyperplane buckets) is the one rows-only entry.
+                     gates recognition fidelity. The only rows-only
+                     entries are the five seed-dependent approximate
+                     paths (ann_lsh, ann_ivf, embed_lsh_neardup,
+                     ann_recall, neardup_recall); their verifiable halves
+                     are oracle-green via the must-be-empty
+                     certifications (neardup_lsh_precision,
+                     ann_cosine_check) and their recall floors are pinned
+                     in pytest.
 """
 
 from __future__ import annotations
@@ -137,6 +143,26 @@ def _ocr_extract_wideserif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ocr_extract_face(spark, sf_dir, "SparkGridWideSerif", OCR_WIDE_MAX_DOCS)
 
 
+def _ocr_extract_tall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth trained font (SparkGridTall): the base glyph set under a 1.5x
+    VERTICAL stretch (cell 24, face-parametric line gap) — the Y-axis dual
+    of SparkGridWide. Every absolute Y-distance merge window scales 1.5x
+    and the parity of odd-row duplication shifts most Y-ratios
+    (colonDistance 0.8, semicolonDistance 0.5, apostropheRatio 3.5), so
+    the mergence gates run at a fifth operating point. Recognition must
+    still be exact."""
+    return _ocr_extract_face(spark, sf_dir, "SparkGridTall", OCR_WIDE_MAX_DOCS)
+
+
+def _ocr_extract_tallserif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth trained font (SparkGridTallSerif): the serif glyph set under
+    the 1.5x vertical stretch — completing a {base, wide, tall} x
+    {sans, serif} grid of SIX certified faces, exact parity with the
+    reference's six certified fonts (test/fonts/Font*.java via
+    fonts/Accuracy.java:34-77). Recognition must still be exact."""
+    return _ocr_extract_face(spark, sf_dir, "SparkGridTallSerif", OCR_WIDE_MAX_DOCS)
+
+
 def _ocr_sql(max_docs: int) -> str:
     return f"""
 WITH base AS (
@@ -163,6 +189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_extract_wide"] = _ocr_extract_wide
     out["ocr_extract_serif"] = _ocr_extract_serif
     out["ocr_extract_wideserif"] = _ocr_extract_wideserif
+    out["ocr_extract_tall"] = _ocr_extract_tall
+    out["ocr_extract_tallserif"] = _ocr_extract_tallserif
     out["ocr_assembled"] = _ocr_assembled
     return out
 
@@ -175,5 +203,7 @@ def oracle_sql() -> dict[str, str]:
     out["ocr_extract_wide"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_extract_serif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_extract_wideserif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
+    out["ocr_extract_tall"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
+    out["ocr_extract_tallserif"] = _ocr_sql(OCR_WIDE_MAX_DOCS)
     out["ocr_assembled"] = OCR_ASSEMBLED_SQL
     return out

@@ -3,11 +3,13 @@
 The SparkGrid font models are fully deterministic (seeded glyphs, fixed
 trainer), so the trained tables are committed under newocr_spark/data/ and
 loaded at runtime; train_font() regenerates bit-identical tables (asserted
-in tests/test_recognition.py). Four faces are shipped — the engine's
-analogue of the reference's per-font trained DBs (Accuracy.java trains one
-HSQLDB per font): "SparkGrid", the 1.5x-stretched "SparkGridWide", the
-topology-distinct "SparkGridSerif", and the stretched-serif
-"SparkGridWideSerif" (a 2x2 narrow/wide x sans/serif metric grid)."""
+in tests/test_recognition.py). Six faces are shipped — exact parity with
+the reference's per-font trained DBs (Accuracy.java trains one HSQLDB per
+font; six certified font classes): "SparkGrid", the 1.5x-X-stretched
+"SparkGridWide", the topology-distinct "SparkGridSerif", the
+stretched-serif "SparkGridWideSerif", and the 1.5x-Y-stretched
+"SparkGridTall"/"SparkGridTallSerif" — a {base, wide, tall} x
+{sans, serif} metric grid."""
 
 from __future__ import annotations
 
@@ -24,6 +26,8 @@ _DIRS = {
     "SparkGridWide": os.path.join(_BASE, "font_model_wide"),
     "SparkGridSerif": os.path.join(_BASE, "font_model_serif"),
     "SparkGridWideSerif": os.path.join(_BASE, "font_model_wideserif"),
+    "SparkGridTall": os.path.join(_BASE, "font_model_tall"),
+    "SparkGridTallSerif": os.path.join(_BASE, "font_model_tallserif"),
 }
 
 

@@ -298,6 +298,12 @@ class FontFace(NamedTuple):
     glyphs: dict
     space_width: int
     tracking: int
+    # Y-axis layout metrics (face-parametric since the tall faces: a
+    # vertically stretched face has taller cells AND needs a wider
+    # inter-line gap, because the trained Y-distance merge windows grow
+    # with glyph height — see tall_face()'s gate-safety derivation).
+    cell_height: int = CELL_HEIGHT
+    line_gap: int = LINE_GAP
 
 
 DEFAULT_FACE = FontFace("SparkGrid", GLYPHS, SPACE_WIDTH, TRACKING)
@@ -534,9 +540,104 @@ def wide_serif_face() -> FontFace:
     return _WIDE_SERIF
 
 
+# ---------------------------------------------------------------------------
+# SparkGridTall / SparkGridTallSerif — the Y-axis duals of the wide faces,
+# completing a {base, 1.5x-X, 1.5x-Y} x {sans, serif} grid of SIX certified
+# faces — exact parity with the reference's six certified fonts
+# (test/fonts/Font*.java via fonts/Accuracy.java:34-77).
+#
+# Where the wide faces shift every X-based trained metric and keep the
+# Y-axis merge windows, the tall faces do the opposite: every ABSOLUTE
+# Y-distance window scales 1.5x (so the mergence gates run at new
+# operating points in pixels), every aspect ratio (avg_w/avg_h, the NN's
+# sizeRatioWeight=4 penalty input — OCRActions.java:248-258) shrinks 1.5x,
+# and the Y-ratios themselves shift wherever the odd-row duplication
+# rounds gap and piece height differently (parity effects):
+#
+#   SparkGridTall (vs SparkGrid):   distancei/j 3/14 ≈ 0.214 (was 2/9);
+#     colonDistance 4/5 = 0.8 (was 1.0); semicolonDistance 4/8 = 0.5
+#     (was 0.6); distanceExcl/Question 3/16 = 0.1875 (was 2/11);
+#     apostropheRatio 7/2 = 3.5 (was 2.5); space w/h 5/24 (was 5/16).
+#     equalsDistance stays 1.0 (gap and bars scale together) — the exact
+#     dual of the wide faces keeping ALL Y-ratios.
+#   SparkGridTallSerif (vs SparkGridSerif): distanceExclamation 5/16 =
+#     0.3125 (was 3/11); equalsDistance shifts (gap 6 vs bars 4/5, was
+#     4/3); apostropheRatio 9/3 = 3.0 (was 2.0); scale-invariant ratios
+#     (distancei 0.2, colonDistance 2.0, semicolonDistance 2/3) persist
+#     while their pixel windows grow 1.5x.
+#
+# Gate-safety derivation (the face-parametric line_gap exists for this):
+# cross-line merge windows grow with glyph height, so each tall face
+# carries its own line_gap. Worst cases, tall-sans (cell 24, line_gap 9):
+#   * OverDot cross-line: a '.'-dot bottom sits at the cell floor (24);
+#     the nearest next-line vline top is at row 0 → difference =
+#     line_gap = 9 > 1.5 · distancei · max_height = 1.5·(3/14)·24 ≈ 7.71;
+#   * UnderDot cross-line: deepest target bottom 24, earliest next-line
+#     dot top (i-dot) at row 3 → difference = 9 + 3 = 12 >
+#     1.75 · (3/16) · 24 = 7.875;
+#   * EqualVertical cross-line dot pair: 9 + 3 = 12 > 1.5·0.8·min_h(4) = 4.8;
+#   * Apostrophe compare floor: quote pieces are 7 tall; every piece that
+#     can appear unmerged and non-excluded when ApostropheMergeRule runs
+#     exceeds 2x7: lowercase 17, merged i/j 21, merged !/? 24, full boxes
+#     24 (stems only via merged forms — rule order UnderDot/EqualVertical/
+#     OverDot first, as for the serif face).
+# Tall-serif (cell 24, line_gap 11):
+#   * UnderDot window 1.75 · (5/16) · 24 = 13.125 < 11 + 3 (i-dot top);
+#   * OverDot window 1.5 · 0.2 · 24 = 7.2 < 11;
+#   * EqualVertical colon window 1.5 · 2.0 · 3 = 9 < 11 + 3;
+#   * Apostrophe floor: quote 9 tall; lowercase 20, merged i/j 21,
+#     merged !/? 24 — all > 18.
+# Same-line true merges stay exact because trained ratios and scan
+# distances are measured on the SAME stretched geometry (integer-kron
+# scale invariance as for every other face).
+# ---------------------------------------------------------------------------
+
+
+def _tallen(g: np.ndarray) -> np.ndarray:
+    """1.5x vertical stretch: every odd row duplicated ([1,2,1,2,…] repeat
+    pattern — the Y-dual of _widen). Row duplication preserves
+    8-connectivity, so every glyph keeps its component structure."""
+    pattern = np.where(np.arange(g.shape[0]) % 2 == 1, 2, 1)
+    return np.repeat(g, pattern, axis=0)
+
+
+_TALL: FontFace | None = None
+_TALL_SERIF: FontFace | None = None
+
+
+def tall_face() -> FontFace:
+    """SparkGridTall: the base glyph set stretched 1.5x in Y (cell 24).
+    X metrics (space_width, tracking) are inherited; line_gap grows to 9
+    per the cross-line window derivation above."""
+    global _TALL
+    if _TALL is None:
+        glyphs = {ch: _tallen(g) for ch, g in GLYPHS.items()}
+        _TALL = FontFace(
+            "SparkGridTall", glyphs, SPACE_WIDTH, TRACKING,
+            cell_height=24, line_gap=9,
+        )
+    return _TALL
+
+
+def tall_serif_face() -> FontFace:
+    """SparkGridTallSerif: the serif glyph set stretched 1.5x in Y —
+    the sixth certified face. line_gap 11 per the derivation above."""
+    global _TALL_SERIF
+    if _TALL_SERIF is None:
+        s = serif_face()
+        glyphs = {ch: _tallen(g) for ch, g in s.glyphs.items()}
+        _TALL_SERIF = FontFace(
+            "SparkGridTallSerif", glyphs, s.space_width, s.tracking,
+            cell_height=24, line_gap=11,
+        )
+    return _TALL_SERIF
+
+
 FACES = {
     "SparkGrid": lambda: DEFAULT_FACE,
     "SparkGridWide": wide_face,
     "SparkGridSerif": serif_face,
     "SparkGridWideSerif": wide_serif_face,
+    "SparkGridTall": tall_face,
+    "SparkGridTallSerif": tall_serif_face,
 }

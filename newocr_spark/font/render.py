@@ -39,14 +39,16 @@ TRAIN_SCALES = (1, 2, 3, 4, 5, 6, 7, 8)
 
 
 def render_line(text: str, face: FontFace = DEFAULT_FACE) -> np.ndarray:
-    """Render one text line at design scale 1 → bool grid (16, w)."""
+    """Render one text line at design scale 1 → bool grid (cell_height, w)."""
     cols: list[np.ndarray] = []
-    track = np.zeros((CELL_HEIGHT, face.tracking), dtype=bool)
+    track = np.zeros((face.cell_height, face.tracking), dtype=bool)
     first = True
     for ch in text:
         if ch == " ":
             cols.append(
-                np.zeros((CELL_HEIGHT, face.space_width + face.tracking), dtype=bool)
+                np.zeros(
+                    (face.cell_height, face.space_width + face.tracking), dtype=bool
+                )
             )
             first = True  # the space includes the following tracking
             continue
@@ -55,7 +57,7 @@ def render_line(text: str, face: FontFace = DEFAULT_FACE) -> np.ndarray:
         cols.append(face.glyphs[ch])
         first = False
     if not cols:
-        return np.zeros((CELL_HEIGHT, 1), dtype=bool)
+        return np.zeros((face.cell_height, 1), dtype=bool)
     return np.concatenate(cols, axis=1)
 
 
@@ -72,11 +74,11 @@ def render_text_image(
     rendered = [render_line(ln, face) for ln in lines]
     width = max(r.shape[1] for r in rendered) + MARGIN_LEFT + 1
     rows: list[np.ndarray] = []
-    gap = np.zeros((LINE_GAP, width), dtype=bool)
+    gap = np.zeros((face.line_gap, width), dtype=bool)
     for i, r in enumerate(rendered):
         if i > 0:
             rows.append(gap)
-        padded = np.zeros((CELL_HEIGHT, width), dtype=bool)
+        padded = np.zeros((face.cell_height, width), dtype=bool)
         padded[:, MARGIN_LEFT : MARGIN_LEFT + r.shape[1]] = r
         rows.append(padded)
     grid = np.concatenate(rows, axis=0)
@@ -93,7 +95,7 @@ def render_train_image(face: FontFace = DEFAULT_FACE) -> np.ndarray:
     for i, s in enumerate(TRAIN_SCALES):
         img = render_text_image([RAW_STRING], scale=s, face=face)
         if i > 0:
-            blocks.append(np.full((LINE_GAP, 1), 255, dtype=np.uint8))
+            blocks.append(np.full((face.line_gap, 1), 255, dtype=np.uint8))
         blocks.append(img)
     width = max(b.shape[1] for b in blocks)
     padded = [

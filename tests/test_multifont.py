@@ -268,3 +268,130 @@ def test_wideserif_committed_model_matches_trainer(wideserif_model):
     assert np.array_equal(fresh.segments, wideserif_model.segments)
     assert fresh.meta == wideserif_model.meta
     assert fresh.custom_spaces == wideserif_model.custom_spaces
+
+
+# ---------------------------------------------------------------------------
+# SparkGridTall / SparkGridTallSerif — fifth and sixth faces: the Y-axis
+# duals of the wide faces, completing a {base, wide(1.5x X), tall(1.5x Y)}
+# x {sans, serif} grid of SIX certified faces — exact parity with the
+# reference's six certified fonts (test/fonts/Font*.java via
+# fonts/Accuracy.java:34-77). The tall faces exercise the face-parametric
+# cell_height/line_gap surface: every absolute Y-distance merge window
+# scales 1.5x, and odd-row-duplication parity shifts most Y-ratios.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tall_model():
+    return get_model("SparkGridTall")
+
+
+@pytest.fixture(scope="module")
+def tallserif_model():
+    return get_model("SparkGridTallSerif")
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 5])
+def test_tall_self_scan_exact(tall_model, scale):
+    from newocr_spark.font.glyphs import tall_face
+
+    for text in (RAW_STRING, MERGE_HEAVY, "Hello, World! 42"):
+        png = render_text_png([text], scale, face=tall_face())
+        got = scan_image_bytes(png, tall_model)
+        assert got == text.rstrip(), f"scale {scale}: {got!r}"
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 5])
+def test_tallserif_self_scan_exact(tallserif_model, scale):
+    from newocr_spark.font.glyphs import tall_serif_face
+
+    for text in (RAW_STRING, MERGE_HEAVY, "Hello, World! 42"):
+        png = render_text_png([text], scale, face=tall_serif_face())
+        got = scan_image_bytes(png, tallserif_model)
+        assert got == text.rstrip(), f"scale {scale}: {got!r}"
+
+
+def test_tall_multiline_cross_line_windows(tall_model, tallserif_model):
+    """Multi-line renders exercise the cross-line merge windows the
+    face-parametric line_gap was derived for (glyphs.py tall derivation):
+    dots at cell floor vs vlines at next-line top must NOT merge."""
+    from newocr_spark.font.glyphs import tall_face, tall_serif_face
+
+    # note: no ' !' pairs with a narrow left glyph — the '!'-floor space
+    # quirk (OCRScan.java:217, kernel/spacing.py) drops that space on
+    # EVERY face, base included; that quirk is covered by the lag_arith
+    # analogue, not here.
+    lines = ['i. j! l:', '| i j |', 'x= y? "q"']
+    for face, model in ((tall_face(), tall_model),
+                        (tall_serif_face(), tallserif_model)):
+        png = render_text_png(lines, 2, face=face)
+        assert scan_image_bytes(png, model) == "\n".join(lines)
+
+
+def test_tall_fifth_metric_corner(tall_model, narrow_model, serif_model,
+                                  tallserif_model):
+    """The tall faces are the exact duals of the wide ones: X-ratios are
+    inherited from the parent, Y-windows scale 1.5x, and the trained
+    Y-RATIOS shift wherever odd-row duplication rounds gap and height
+    differently (measured values pinned from the derivation in
+    glyphs.py)."""
+    t, ts = tall_model, tallserif_model
+    # pinned trained metadata — must match the hand derivation exactly
+    assert t.meta["colonDistance"] == pytest.approx(0.8)
+    assert t.meta["semicolonDistance"] == pytest.approx(0.5)
+    assert t.meta["distancei"] == pytest.approx(3 / 14)
+    assert t.meta["distanceExclamation"] == pytest.approx(3 / 16)
+    assert t.meta["apostropheRatio"] == pytest.approx(3.5)
+    assert ts.meta["distanceExclamation"] == pytest.approx(5 / 16)
+    assert ts.meta["equalsDistance"] == pytest.approx(1.2)
+    assert ts.meta["apostropheRatio"] == pytest.approx(3.0)
+    # apostrophe gate: a fifth and sixth distinct operating point
+    seen = {2.5, 5 / 3, 2.0, 1.5}  # narrow / wide / serif / wideserif
+    for m in (t, ts):
+        for other in seen:
+            assert abs(m.meta["apostropheRatio"] - other) > 0.1
+    # aspect ratios all shrink 1.5x vs the parent (the NN sizeRatio
+    # penalty input): 'A' is full-cell-height in both parents
+    for m, parent in ((t, narrow_model), (ts, serif_model)):
+        r, p = m.row("A", 0), parent.row("A", 0)
+        assert m.avg_height[r] == pytest.approx(parent.avg_height[p] * 1.5)
+        assert m.avg_width[r] == pytest.approx(parent.avg_width[p])
+    # every glyph is the parent glyph under odd-row duplication:
+    # canvas height 16 -> 24, width fixed
+    from newocr_spark.font.glyphs import (
+        serif_face, tall_face, tall_serif_face,
+    )
+
+    for ch in ("A", "W", "|", "g"):
+        assert tall_face().glyphs[ch].shape == (
+            24, DEFAULT_FACE.glyphs[ch].shape[1])
+        assert tall_serif_face().glyphs[ch].shape == (
+            24, serif_face().glyphs[ch].shape[1])
+    # face-parametric layout metrics actually differ
+    assert tall_face().cell_height == 24 and tall_face().line_gap == 9
+    assert tall_serif_face().line_gap == 11
+    assert DEFAULT_FACE.cell_height == 16 and DEFAULT_FACE.line_gap == 6
+
+
+def test_tall_wrong_model_misreads(tall_model, narrow_model):
+    """The stretch changes heights/aspect enough that the base parent's
+    trained tables cannot reproduce tall renders."""
+    from newocr_spark.font.glyphs import tall_face
+
+    text = "i j : = W  W"
+    png = render_text_png([text], 2, face=tall_face())
+    assert scan_image_bytes(png, tall_model) == text
+    assert scan_image_bytes(png, narrow_model) != text
+
+
+def test_tall_training_deterministic_and_committed(tall_model, tallserif_model):
+    from newocr_spark.font.glyphs import tall_face, tall_serif_face
+    from newocr_spark.font.train import train_font
+
+    for face, committed in ((tall_face(), tall_model),
+                            (tall_serif_face(), tallserif_model)):
+        fresh = train_font(face=face)
+        assert fresh.letters == committed.letters
+        assert np.array_equal(fresh.segments, committed.segments)
+        assert fresh.meta == committed.meta
+        assert fresh.custom_spaces == committed.custom_spaces

@@ -23,6 +23,15 @@ Per-face budget matrix (min accuracy across characterization seeds):
                    (*11/12 characterization seeds 1.0; one seed severs a
                     single serif tail -> 0.9794, the step-function mode
                     above — the 3 verified seeds are all 1.0)
+  tall        5    0.0075=1.0   0.005=0.98*     1.0
+                   (*6/8 characterization seeds 1.0, two at 0.9794 — the
+                    verified 3 seeds are all 1.0; at scale 4 the
+                    duplicated-row strokes are still 2 px wide in X, so
+                    salt voids sever them — scale 5 is tall's resolution
+                    lever, as scale 6 is serif's)
+  tallserif   6    0.01=1.0     0.005=1.0       0.96 (EXCLUDED — serif
+                                                parent's dilation mode:
+                                                see the serif test)
 
 Serif needs scale 6: at scale 4 its thin-stroke pool is fragile to any
 interior dropout (salt 0.01 -> 0.96). Resolution, not the algorithm, is
@@ -54,12 +63,16 @@ def _accuracy(img, model) -> float:
 
 @pytest.fixture(scope="module")
 def faces():
-    from newocr_spark.font.glyphs import serif_face, wide_face, wide_serif_face
+    from newocr_spark.font.glyphs import (
+        serif_face, tall_face, tall_serif_face, wide_face, wide_serif_face,
+    )
     from newocr_spark.font.train import train_font
 
     wide = wide_face()
     serif = serif_face()
     wideserif = wide_serif_face()
+    tall = tall_face()
+    tallserif = tall_serif_face()
     return {
         # face key -> (render face or None for default, model, scale,
         #              salt budget)
@@ -67,6 +80,8 @@ def faces():
         "wide": (wide, train_font(face=wide), 4, 0.03),
         "serif": (serif, train_font(face=serif), 6, 0.02),
         "wideserif": (wideserif, train_font(face=wideserif), 6, 0.01),
+        "tall": (tall, train_font(face=tall), 5, 0.0075),
+        "tallserif": (tallserif, train_font(face=tallserif), 6, 0.01),
     }
 
 
@@ -76,7 +91,8 @@ def _render(face, scale):
     return render_text_image([RAW_STRING], scale, face)
 
 
-@pytest.mark.parametrize("name", ["default", "wide", "serif", "wideserif"])
+@pytest.mark.parametrize(
+    "name", ["default", "wide", "serif", "wideserif", "tall", "tallserif"])
 def test_salt_noise_holds_reference_floor(faces, name):
     face, model, scale, budget = faces[name]
     base = _render(face, scale)
@@ -85,7 +101,8 @@ def test_salt_noise_holds_reference_floor(faces, name):
         assert acc >= FLOOR, (name, seed, acc)
 
 
-@pytest.mark.parametrize("name", ["default", "wide", "serif", "wideserif"])
+@pytest.mark.parametrize(
+    "name", ["default", "wide", "serif", "wideserif", "tall", "tallserif"])
 def test_pepper_boundary_holds_reference_floor(faces, name):
     face, model, scale, _ = faces[name]
     base = _render(face, scale)
@@ -94,7 +111,7 @@ def test_pepper_boundary_holds_reference_floor(faces, name):
         assert acc >= FLOOR, (name, seed, acc)
 
 
-@pytest.mark.parametrize("name", ["default", "wide", "wideserif"])
+@pytest.mark.parametrize("name", ["default", "wide", "wideserif", "tall"])
 def test_dilation_holds_reference_floor(faces, name):
     face, model, scale, _ = faces[name]
     acc = _accuracy(dilate(_render(face, scale)), model)
@@ -109,9 +126,10 @@ def test_serif_dilation_is_a_face_change_not_noise(faces):
     (it ships six separately-trained fonts, fonts/Accuracy.java:34-77).
     Pinned as a band so a kernel change that collapses recognition
     entirely (or silently fixes it, invalidating this doc) is caught."""
-    face, model, scale, _ = faces["serif"]
-    acc = _accuracy(dilate(_render(face, scale)), model)
-    assert 0.85 <= acc < FLOOR, acc
+    for key in ("serif", "tallserif"):
+        face, model, scale, _ = faces[key]
+        acc = _accuracy(dilate(_render(face, scale)), model)
+        assert 0.85 <= acc < FLOOR, (key, acc)
 
 
 def test_perturbations_are_deterministic():
