@@ -135,9 +135,9 @@ def _ocr_extract_serif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ocr_extract_wideserif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth trained font (SparkGridWideSerif): the serif glyph set under
-    the proven 1.5x horizontal stretch, completing a 2x2 narrow/wide x
-    sans/serif metric grid — four certified faces vs the reference's six
-    (test/fonts/Font*.java via fonts/Accuracy.java:34-77). Every X-based
+    the proven 1.5x horizontal stretch — one corner of the six-face
+    {base, wide, tall} x {sans, serif} grid (parity with the reference's
+    six fonts, test/fonts/Font*.java via Accuracy.java:34-77). Every X-based
     trained ratio (apostrophe gate, space insertion) runs at a fourth
     operating point. Recognition must still be exact."""
     return _ocr_extract_face(spark, sf_dir, "SparkGridWideSerif", OCR_WIDE_MAX_DOCS)

@@ -30,6 +30,10 @@ documented in analytics/curation.py / analytics/dedup.py):
       packed training output
     → drop self-repeating docs (Gopher-style repetition gate; the rule
       cross-doc dedup can't express)
+    → drop docs mostly made of cross-doc duplicated substrings
+      (ExactSubstr-style windowed coverage, Lee et al. 2022 — boilerplate
+      paragraphs pasted across otherwise-unique pages survive both the
+      document-level dedup above and the within-doc gate)
     → PII scrub (narrow JVM regexp map)
     → per-language stratified sample (hash-bucket filter, no RNG state)
     → pack into fixed-budget training sequences (one shuffle by shard,
@@ -63,6 +67,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--seq-budget", type=int, default=2048)
     p.add_argument("--shards", type=int, default=4096)
     p.add_argument("--no-repetition-gate", action="store_true")
+    p.add_argument("--no-crossdoc-gate", action="store_true")
+    p.add_argument("--crossdoc-max-frac", type=float, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
@@ -145,6 +151,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         reps = repetition_stats(kept).filter(~F.col("keep")).select("doc_id")
         kept = kept.join(reps, "doc_id", "left_anti")
+
+    # 2c. cross-doc duplicated-substring gate (ExactSubstr-style, Lee et
+    # al. 2022, arXiv:2107.06499): a boilerplate paragraph pasted into
+    # thousands of otherwise-unique pages survives cluster resolution
+    # (the docs are not near-dups of each other) and the within-doc gate
+    # (nothing repeats inside any one doc); window-level coverage is the
+    # rule that catches it. O(total tokens) — no pairwise term, so the
+    # duplicate-heavy crawls the exact-collapse above protects against
+    # cannot blow this stage up either.
+    if not args.no_crossdoc_gate:
+        from newocr_spark.analytics.textstats import (
+            CROSSDOC_MAX_FRAC, crossdoc_substrings,
+        )
+
+        frac = (
+            args.crossdoc_max_frac
+            if args.crossdoc_max_frac is not None
+            else CROSSDOC_MAX_FRAC
+        )
+        xd = (
+            crossdoc_substrings(kept, max_frac=frac)
+            .filter(~F.col("keep"))
+            .select("doc_id")
+        )
+        kept = kept.join(xd, "doc_id", "left_anti")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

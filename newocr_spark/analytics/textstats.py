@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # tiny per-language stopword profiles for the heuristic
 STOPWORDS = {
@@ -591,4 +592,184 @@ def repetition_stats_sql(
            dup_bigram_frac, {frac_names},
            ({gate_terms}) AS keep
     FROM fr
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate substrings (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+CROSSDOC_WINDOW = 8      # tokens; same width precedent as decontaminate()
+CROSSDOC_MAX_FRAC = 0.5  # keep gate: duplicated-token coverage ceiling
+
+
+def crossdoc_substrings(
+    docs: DataFrame,
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+    max_frac: float = CROSSDOC_MAX_FRAC,
+) -> DataFrame:
+    """Cross-document duplicated-substring coverage + keep gate — the
+    ExactSubstr half of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): document-level
+    dedup (exact_duplicates / minhash) misses a boilerplate PARAGRAPH
+    pasted into thousands of otherwise-unique pages; substring-level
+    dedup catches it. The paper builds a corpus suffix array to find
+    variable-length duplicate spans >= 50 tokens; the distributed form
+    here is the fixed-window equivalence: a span of length >= `window`
+    is duplicated across docs iff ALL its length-`window` token windows
+    are, so window-level matching recovers exactly the >= window-token
+    duplicated coverage.
+
+    Per doc:
+      n_tok           — whitespace token count
+      n_windows       — token windows of length `window`
+      n_dup_windows   — windows also present in >= min_docs-1 OTHER docs
+      dup_tokens      — tokens covered by >= 1 duplicated window
+                        (overlapping windows merged interval-union style,
+                        so a token is never counted twice)
+      dup_token_frac  — dup_tokens / n_tok
+      keep            — dup_token_frac <= max_frac
+
+    100 TB shape: windows are reduced in-codegen to xxhash64 of the
+    sliced token array (same 8-byte-longs-only exchange discipline and
+    ~1e-9 collision caveat as repetition_stats — a collision can only
+    nudge a coverage count); the global duplicate-window set is ONE
+    (g64) hash-aggregate with map-side partial distinct-doc counts, fed
+    back by a semi-join on the 8-byte key; coverage is one per-doc
+    window (single doc_id shuffle) doing an interval-union
+    gaps-and-islands pass. Everything is O(total tokens) rows — no
+    pairwise term anywhere, unlike the pairs-producing dedup family,
+    so duplicate-heavy corpora cannot blow it up (B copies of a page
+    contribute B window rows, not B^2 candidates)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)  # similarity._spread
+    toked = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    toks = F.col("toks")
+    wins = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - window),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice(toks, i + 1, window)).alias("g64"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g64:bigint>>"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g64").alias("g64"))
+    dup_keys = (
+        wins.groupBy("g64")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g64")
+    )
+    dup_pos = wins.join(dup_keys, "g64", "leftsemi")
+    # interval union per doc: window at pos covers [pos, pos + window);
+    # a window starts a new island iff it begins at/after every previous
+    # window's end (adjacent-but-disjoint islands sum identically)
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = dup_pos.withColumn(
+        "new_isl",
+        F.when(prev_max_end.isNull() | (F.col("pos") >= prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_doc_dup = (
+        islands.groupBy("doc_id", "isl")
+        .agg((F.max(F.col("pos") + window) - F.min("pos")).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("dup_tokens"), F.sum(F.lit(1)).alias("_isl"))
+    )
+    n_dup = dup_pos.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    base = toked.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.greatest(F.size(toks) - window + 1, F.lit(0)).alias("n_windows"),
+    )
+    out = (
+        base.join(n_dup, "doc_id", "left")
+        .join(per_doc_dup.select("doc_id", "dup_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce(
+                F.round(F.col("dup_tokens") / F.col("n_tok"), 6), F.lit(0.0)
+            ).alias("dup_token_frac"),
+        )
+        .withColumn("keep", F.col("dup_token_frac") <= max_frac)
+    )
+    return out
+
+
+def crossdoc_substrings_sql(
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+    max_frac: float = CROSSDOC_MAX_FRAC,
+    docs_cte: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB mirror of crossdoc_substrings over gram STRINGS (the hash is
+    only an equality-class compression, so string grouping reproduces the
+    same aggregates). `docs_cte` lets the contract query feed the
+    contamination-injected corpus."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+    WITH src AS ({docs_cte}),
+    t AS (SELECT doc_id, {toks} AS toks FROM src),
+    w AS (SELECT doc_id, i.i AS pos,
+                 array_to_string(toks[i.i : i.i + {window - 1}], ' ') AS gram
+          FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 1, len(toks) - {window - 1})) AS i) i),
+    d AS (SELECT gram FROM w GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= {min_docs}),
+    p AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {window}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos >= max(pos + {window}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_isl
+      FROM p),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM isl),
+    cov AS (
+      SELECT doc_id, sum(covered) AS dup_tokens FROM (
+        SELECT doc_id, isl, max(pos + {window}) - min(pos) AS covered
+        FROM isl2 GROUP BY doc_id, isl) GROUP BY doc_id),
+    nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM p GROUP BY doc_id),
+    base AS (SELECT doc_id, len(toks) AS n_tok,
+                    greatest(len(toks) - {window - 1}, 0) AS n_windows
+             FROM t)
+    SELECT b.doc_id,
+           CAST(b.n_tok AS BIGINT) AS n_tok,
+           CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(nd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           COALESCE(round(cov.dup_tokens * 1.0 / b.n_tok, 6), 0.0)
+             AS dup_token_frac,
+           (COALESCE(round(cov.dup_tokens * 1.0 / b.n_tok, 6), 0.0)
+             <= {max_frac}) AS keep
+    FROM base b
+    LEFT JOIN nd ON nd.doc_id = b.doc_id
+    LEFT JOIN cov ON cov.doc_id = b.doc_id
     """

@@ -515,9 +515,10 @@ _WIDE_SERIF: FontFace | None = None
 
 def wide_serif_face() -> FontFace:
     """SparkGridWideSerif: the serif glyph set under the proven 1.5x
-    horizontal stretch, completing a 2x2 face grid (narrow/wide x
-    sans/serif) — four certified faces vs the reference's six
-    (test/fonts/Font*.java via fonts/Accuracy.java:34-77). Every X-based
+    horizontal stretch — the narrow/wide x sans/serif corner of what is
+    now a {base, wide, tall} x {sans, serif} grid of six certified faces
+    (count parity with the reference's six certified fonts,
+    test/fonts/Font*.java via fonts/Accuracy.java:34-77). Every X-based
     trained ratio shifts vs ALL three other faces (apostropheRatio
     1.5, was 2.5 / 1.667 / 2.0; space w/h 0.875, was
     0.437 / 0.656 / 0.625; every avg width/height aspect 1.5x the serif

@@ -400,6 +400,16 @@ def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
     return T.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_crossdoc_substr(spark, sf):  # ExactSubstr-style cross-doc duplicated
+    # substring coverage (Lee et al. 2022) over the same deterministic
+    # cross-doc quote injection decontaminate uses (the synthetic corpus has
+    # ~zero natural 8-gram overlap, so without injection the gate would
+    # certify an empty signal)
+    from .analytics import curation as C
+
+    return T.crossdoc_substrings(C._with_contamination(load(spark, sf, "documents")))
+
+
 def q_pii_scrub(spark, sf):  # PII redaction over deterministically injected PII
     from .analytics import curation as C
 
@@ -571,6 +581,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "repetition_stats": q_repetition_stats,
     "source_mix": q_source_mix,
+    "crossdoc_substr": q_crossdoc_substr,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -671,6 +682,9 @@ def _register_curation_oracles() -> None:
 
     ORACLES["pii_scrub"] = C.pii_scrub_sql()
     ORACLES["decontaminate"] = C.decontaminate_sql(contaminated=True)
+    ORACLES["crossdoc_substr"] = T.crossdoc_substrings_sql(
+        docs_cte=C.contamination_sql()
+    )
     ORACLES["stratified_sample"] = C.stratified_sample_sql()
     ORACLES["pack_sequences"] = C.pack_sequences_sql()
     ORACLES["pack_manifest"] = C.pack_manifest_sql()

@@ -128,3 +128,44 @@ def test_curate_job_rejects_self_overwriting_index(spark, tmp_path):
              "--write-band-index", str(tmp_path / "b")],
             spark=spark,
         )
+
+
+def test_curate_job_crossdoc_gate_drops_boilerplate(spark, tmp_path):
+    """A boilerplate paragraph pasted into many otherwise-unique docs
+    survives cluster resolution (they are not near-dups of each other) and
+    the within-doc repetition gate (nothing repeats inside any one doc) —
+    only the ExactSubstr-style cross-doc gate removes those docs."""
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+    rows = []
+    for i in range(60):
+        unique = " ".join(f"u{i}w{j}" for j in range(12))
+        if i % 2 == 0:
+            text = f"{boiler} {unique.split(' ', 6)[-1]}"  # mostly boiler
+        else:
+            text = unique
+        rows.append((i, text, "en", "web", len(text)))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(src)
+
+    import curate_job
+
+    def run(name, *extra):
+        out = str(tmp_path / name)
+        n = curate_job.main(
+            ["--documents", src, "--output", out, "--shards", "2",
+             "--benchmark-mod", "0", "--no-repetition-gate", *extra],
+            spark=spark,
+        )
+        return n, out
+
+    n_gated, out_gated = run("xd_gated")
+    n_open, _ = run("xd_open", "--no-crossdoc-gate")
+    assert n_open > n_gated > 0
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(out_gated).select("doc_id").collect()
+    }
+    # every boilerplate-dominated doc is gone; the unique docs survive
+    # (up to the stratified sample, which keeps a deterministic subset)
+    assert not any(i % 2 == 0 for i in kept_ids)

@@ -231,3 +231,52 @@ def test_pasted_paragraph_flips_keep_only_under_char_fractions(spark):
     assert r.dup_10gram_char_frac > REP_DUP_NGRAM_MAX[10]
     assert not r.keep
     assert out[2].keep and out[2].dup_5gram_char_frac == 0.0
+
+
+def test_crossdoc_substrings_coverage(spark):
+    """ExactSubstr-style cross-doc duplicated-substring coverage (Lee et
+    al. 2022): a boilerplate paragraph pasted into several otherwise-unique
+    docs is flagged with exact interval-union token coverage; document-level
+    dedup would keep every one of these docs."""
+    from newocr_spark.analytics.textstats import crossdoc_substrings
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10-token boilerplate
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+            (2, " ".join(f"y{i}" for i in range(10)) + " " + boiler),
+            (3, " ".join(f"z{i}" for i in range(30))),   # unique
+            (4, "tiny doc"),                             # < window tokens
+            (5, boiler + " tail"),                       # shares boiler too
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in crossdoc_substrings(docs, window=8).collect()}
+    # boilerplate is 10 tokens -> 3 windows of 8, all shared across docs
+    # 1/2/5; interval union covers exactly the 10 boilerplate tokens
+    for d in (1, 2, 5):
+        assert out[d].n_dup_windows == 3, out[d]
+        assert out[d].dup_tokens == 10, out[d]
+    assert out[1].n_tok == 20 and out[1].dup_token_frac == 0.5 and out[1].keep
+    assert out[2].dup_token_frac == 0.5 and out[2].keep
+    # doc 5 is 11 tokens: 10/11 duplicated -> gated out at max_frac 0.5
+    assert out[5].n_tok == 11 and not out[5].keep
+    assert out[3].n_dup_windows == 0 and out[3].dup_tokens == 0 and out[3].keep
+    assert out[4].n_windows == 0 and out[4].dup_token_frac == 0.0 and out[4].keep
+
+
+def test_crossdoc_substrings_linear_in_copies(spark):
+    """Window rows are linear in corpus size: B exact copies contribute B
+    window rows each, never B^2 candidates — the gate has no pairwise term
+    (unlike the pairs-producing dedup family), so duplicate-heavy corpora
+    cannot blow it up."""
+    from newocr_spark.analytics.textstats import crossdoc_substrings
+
+    page = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, page) for i in range(50)], "doc_id bigint, text string"
+    )
+    out = crossdoc_substrings(docs, window=8).collect()
+    assert len(out) == 50
+    assert all(r.dup_tokens == 12 and r.dup_token_frac == 1.0 and not r.keep
+               for r in out)
