@@ -122,6 +122,13 @@ CHECKS = {
         "joined on doc_id",
         ["HashAggregate", "Exchange"],
     ),
+    "crossdoc_substr": (
+        "ExactSubstr coverage: windows hashed in-codegen to longs, ONE "
+        "global (g64) hash-aggregate + LeftSemi join back, one per-doc "
+        "gaps-and-islands Window — no pairwise term, no cross product",
+        ["HashAggregate", "LeftSemi", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "ann_lsh": (
         "multiprobe explodes probe buckets on the QUERY side only "
         "(Generate); candidates come from an equi-join on (table, bucket) "
