@@ -773,3 +773,187 @@ def crossdoc_substrings_sql(
     LEFT JOIN nd ON nd.doc_id = b.doc_id
     LEFT JOIN cov ON cov.doc_id = b.doc_id
     """
+
+
+def crossdoc_cut(
+    docs: DataFrame,
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL — the actual treatment
+    in Lee et al. 2022 (arXiv:2107.06499 §4: ExactSubstr "deduplicates two
+    documents by removing one of the duplicated spans", rather than
+    dropping whole documents as the crossdoc_substrings gate does). Every
+    duplicated window names a canonical owner (the minimum doc_id sharing
+    it — deterministic, no RNG); the owner keeps its text, every other doc
+    has the covered token interval cut. Output per doc:
+
+      clean_text  — text with non-canonical duplicated intervals removed
+                    (token-boundary exact; single-space rejoin)
+      n_cut       — tokens removed
+      kept_copy   — true iff this doc owns at least one of its duplicated
+                    windows (it is the canonical copy somewhere)
+
+    100 TB shape: identical exchange discipline to crossdoc_substrings —
+    windows as in-codegen xxhash64 longs, one global (g64) aggregate now
+    also carrying min(doc_id), one join back, one per-doc interval-union
+    window; the cut itself is a JVM higher-order filter over the token
+    array (no Python, no explode of text). Token-boundary whitespace is
+    normalized by the rejoin (the tokenizer splits on \\s+), matching the
+    oracle exactly."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    toked = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    toks = F.col("toks")
+    wins = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - window),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice(toks, i + 1, window)).alias("g64"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g64:bigint>>"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g64").alias("g64"))
+    dup_keys = (
+        wins.groupBy("g64")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("g64", "owner")
+    )
+    # positions to cut: duplicated windows in every NON-owner doc
+    cut_pos = wins.join(dup_keys, "g64").filter(F.col("doc_id") != F.col("owner"))
+    owned = (
+        wins.join(dup_keys, "g64")
+        .filter(F.col("doc_id") == F.col("owner"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("kept_copy", F.lit(True))
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = cut_pos.withColumn(
+        "new_isl",
+        F.when(prev_max_end.isNull() | (F.col("pos") >= prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ranges = (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("lo"),
+            F.max(F.col("pos") + window).alias("hi"),  # exclusive
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("lo", "hi")).alias("cuts"),
+            F.sum(F.col("hi") - F.col("lo")).alias("n_cut"),
+        )
+    )
+    joined = toked.join(ranges, "doc_id", "left").join(owned, "doc_id", "left")
+    idx = F.col("i")
+    keep_tok = lambda pair: ~F.exists(  # noqa: E731
+        F.col("cuts"), lambda c: (pair["i"] >= c["lo"]) & (pair["i"] < c["hi"])
+    )
+    cleaned = F.when(
+        F.col("cuts").isNull(), F.array_join(toks, " ")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        toks,
+                        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                    ),
+                    keep_tok,
+                ),
+                lambda p: p["t"],
+            ),
+            " ",
+        )
+    )
+    return joined.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
+        F.coalesce("kept_copy", F.lit(False)).alias("kept_copy"),
+    )
+
+
+def crossdoc_cut_sql(
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+    docs_cte: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB mirror of crossdoc_cut (gram strings as the equality
+    classes; whitespace-normalized rejoin on both sides)."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+    WITH src AS ({docs_cte}),
+    t AS (SELECT doc_id, {toks} AS toks FROM src),
+    w AS (SELECT doc_id, i.i AS pos,
+                 array_to_string(toks[i.i : i.i + {window - 1}], ' ') AS gram
+          FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 1, len(toks) - {window - 1})) AS i) i),
+    d AS (SELECT gram, min(doc_id) AS owner FROM w GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= {min_docs}),
+    cutp AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)
+             WHERE w.doc_id <> d.owner),
+    owned AS (SELECT DISTINCT w.doc_id FROM w JOIN d USING (gram)
+              WHERE w.doc_id = d.owner),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {window}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos >= max(pos + {window}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_isl
+      FROM cutp),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM isl),
+    rng AS (SELECT doc_id, isl, min(pos) AS lo, max(pos + {window}) AS hi
+            FROM isl2 GROUP BY doc_id, isl),
+    cut_stats AS (SELECT doc_id, sum(hi - lo) AS n_cut FROM rng
+                  GROUP BY doc_id),
+    toks_pos AS (
+      SELECT t.doc_id, p.i AS pos, toks[p.i] AS tok
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) p),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM toks_pos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rng r
+        WHERE r.doc_id = tp.doc_id
+          AND tp.pos >= r.lo AND tp.pos < r.hi)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(cs.n_cut, 0) AS BIGINT) AS n_cut,
+           (ow.doc_id IS NOT NULL) AS kept_copy
+    FROM t
+    LEFT JOIN rebuilt rb ON rb.doc_id = t.doc_id
+    LEFT JOIN cut_stats cs ON cs.doc_id = t.doc_id
+    LEFT JOIN owned ow ON ow.doc_id = t.doc_id
+    """

@@ -410,6 +410,13 @@ def q_crossdoc_substr(spark, sf):  # ExactSubstr-style cross-doc duplicated
     return T.crossdoc_substrings(C._with_contamination(load(spark, sf, "documents")))
 
 
+def q_crossdoc_cut(spark, sf):  # ExactSubstr span REMOVAL (keep one
+    # canonical copy, cut the rest) over the same injected cross-doc quotes
+    from .analytics import curation as C
+
+    return T.crossdoc_cut(C._with_contamination(load(spark, sf, "documents")))
+
+
 def q_pii_scrub(spark, sf):  # PII redaction over deterministically injected PII
     from .analytics import curation as C
 
@@ -582,6 +589,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "source_mix": q_source_mix,
     "crossdoc_substr": q_crossdoc_substr,
+    "crossdoc_cut": q_crossdoc_cut,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -683,6 +691,9 @@ def _register_curation_oracles() -> None:
     ORACLES["pii_scrub"] = C.pii_scrub_sql()
     ORACLES["decontaminate"] = C.decontaminate_sql(contaminated=True)
     ORACLES["crossdoc_substr"] = T.crossdoc_substrings_sql(
+        docs_cte=C.contamination_sql()
+    )
+    ORACLES["crossdoc_cut"] = T.crossdoc_cut_sql(
         docs_cte=C.contamination_sql()
     )
     ORACLES["stratified_sample"] = C.stratified_sample_sql()

@@ -280,3 +280,33 @@ def test_crossdoc_substrings_linear_in_copies(spark):
     assert len(out) == 50
     assert all(r.dup_tokens == 12 and r.dup_token_frac == 1.0 and not r.keep
                for r in out)
+
+
+def test_crossdoc_cut_keeps_one_canonical_copy(spark):
+    """crossdoc_cut removes duplicated spans from every doc EXCEPT the
+    canonical owner (min doc_id) — Lee et al. 2022's actual ExactSubstr
+    treatment, vs the gate's whole-doc drop."""
+    from newocr_spark.analytics.textstats import crossdoc_cut
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1}"),      # canonical owner (min doc_id)
+            (2, f"{u2} {boiler}"),      # loses the boilerplate
+            (3, boiler),                # duplicated in full -> cut to empty
+            (4, "short doc"),           # untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in crossdoc_cut(docs, window=8).collect()}
+    assert out[1].clean_text == f"{boiler} {u1}" and out[1].n_cut == 0
+    assert out[1].kept_copy
+    assert out[2].clean_text == u2 and out[2].n_cut == 10
+    assert not out[2].kept_copy
+    assert out[3].clean_text == "" and out[3].n_cut == 10
+    assert out[4].clean_text == "short doc" and out[4].n_cut == 0
+    # corpus-wide: exactly one copy of the boilerplate text survives
+    survivors = [r.clean_text for r in out.values() if boiler in r.clean_text]
+    assert len(survivors) == 1
