@@ -129,6 +129,15 @@ CHECKS = {
         ["HashAggregate", "LeftSemi", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "crossdoc_cut": (
+        "ExactSubstr span cut: same hashed-window aggregate (now carrying "
+        "the canonical owner) + interval-union Window; the cut is a JVM "
+        "higher-order filter over the token array — no Python in the "
+        "plan, no cross product",
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "ArrowEvalPython",
+         "BatchEvalPython"],
+    ),
     "ann_lsh": (
         "multiprobe explodes probe buckets on the QUERY side only "
         "(Generate); candidates come from an equi-join on (table, bucket) "
