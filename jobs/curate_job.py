@@ -33,7 +33,9 @@ documented in analytics/curation.py / analytics/dedup.py):
     → drop docs mostly made of cross-doc duplicated substrings
       (ExactSubstr-style windowed coverage, Lee et al. 2022 — boilerplate
       paragraphs pasted across otherwise-unique pages survive both the
-      document-level dedup above and the within-doc gate)
+      document-level dedup above and the within-doc gate); or, with
+      --crossdoc-mode cut, remove the duplicated spans themselves and
+      keep one canonical copy corpus-wide (the paper's actual treatment)
     → PII scrub (narrow JVM regexp map)
     → per-language stratified sample (hash-bucket filter, no RNG state)
     → pack into fixed-budget training sequences (one shuffle by shard,
@@ -69,6 +71,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--no-repetition-gate", action="store_true")
     p.add_argument("--no-crossdoc-gate", action="store_true")
     p.add_argument("--crossdoc-max-frac", type=float, default=None)
+    p.add_argument(
+        "--crossdoc-mode", choices=("gate", "cut"), default="gate",
+        help="gate: drop docs whose duplicated coverage exceeds the "
+        "threshold; cut: remove the duplicated spans themselves, keeping "
+        "one canonical copy corpus-wide (Lee et al. 2022 ExactSubstr "
+        "treatment) and dropping docs cut to nothing",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
@@ -161,21 +170,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # duplicate-heavy crawls the exact-collapse above protects against
     # cannot blow this stage up either.
     if not args.no_crossdoc_gate:
-        from newocr_spark.analytics.textstats import (
-            CROSSDOC_MAX_FRAC, crossdoc_substrings,
-        )
+        if args.crossdoc_mode == "cut":
+            from newocr_spark.analytics.textstats import crossdoc_cut
 
-        frac = (
-            args.crossdoc_max_frac
-            if args.crossdoc_max_frac is not None
-            else CROSSDOC_MAX_FRAC
-        )
-        xd = (
-            crossdoc_substrings(kept, max_frac=frac)
-            .filter(~F.col("keep"))
-            .select("doc_id")
-        )
-        kept = kept.join(xd, "doc_id", "left_anti")
+            cut = crossdoc_cut(kept).select(
+                "doc_id", F.col("clean_text").alias("_xd_text")
+            )
+            kept = (
+                kept.join(cut, "doc_id")
+                .filter(F.length(F.trim("_xd_text")) > 0)
+                .drop("text")
+                .withColumnRenamed("_xd_text", "text")
+            )
+        else:
+            from newocr_spark.analytics.textstats import (
+                CROSSDOC_MAX_FRAC, crossdoc_substrings,
+            )
+
+            frac = (
+                args.crossdoc_max_frac
+                if args.crossdoc_max_frac is not None
+                else CROSSDOC_MAX_FRAC
+            )
+            xd = (
+                crossdoc_substrings(kept, max_frac=frac)
+                .filter(~F.col("keep"))
+                .select("doc_id")
+            )
+            kept = kept.join(xd, "doc_id", "left_anti")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

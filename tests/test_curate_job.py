@@ -169,3 +169,42 @@ def test_curate_job_crossdoc_gate_drops_boilerplate(spark, tmp_path):
     # every boilerplate-dominated doc is gone; the unique docs survive
     # (up to the stratified sample, which keeps a deterministic subset)
     assert not any(i % 2 == 0 for i in kept_ids)
+
+
+def test_curate_job_crossdoc_cut_mode_keeps_one_copy(spark, tmp_path):
+    """--crossdoc-mode cut removes duplicated spans instead of dropping
+    docs: the boilerplate survives in exactly one output doc (the
+    canonical owner), the other docs keep their unique remainder, and
+    docs cut to nothing disappear."""
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+    rows = []
+    for i in range(20):
+        unique = " ".join(f"u{i}w{j}" for j in range(12))
+        text = f"{boiler} {unique}" if i % 2 == 0 else unique
+        rows.append((i, text, "en", "web", len(text)))
+    rows.append((100, boiler, "en", "web", len(boiler)))  # all-boiler doc
+    src = str(tmp_path / "docs_cut")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(src)
+
+    import curate_job
+
+    out = str(tmp_path / "out_cut")
+    n = curate_job.main(
+        ["--documents", src, "--output", out, "--shards", "2",
+         "--benchmark-mod", "0", "--no-repetition-gate",
+         "--crossdoc-mode", "cut"],
+        spark=spark,
+    )
+    assert n > 0
+    df = spark.read.parquet(out)
+    with_boiler = df.filter(df.text.contains("boiler0 boiler1")).collect()
+    assert len(with_boiler) == 1 and with_boiler[0].doc_id == 0
+    # the all-boiler doc was cut to nothing and dropped
+    assert df.filter(df.doc_id == 100).count() == 0
+    # non-owner docs keep their unique remainder
+    survivors = {r.doc_id: r.text for r in df.collect()}
+    for i, txt in survivors.items():
+        if i not in (0,):
+            assert "boiler0" not in txt
