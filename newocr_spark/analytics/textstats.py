@@ -689,7 +689,7 @@ def crossdoc_substrings(
         islands.groupBy("doc_id", "isl")
         .agg((F.max(F.col("pos") + window) - F.min("pos")).alias("covered"))
         .groupBy("doc_id")
-        .agg(F.sum("covered").alias("dup_tokens"), F.sum(F.lit(1)).alias("_isl"))
+        .agg(F.sum("covered").alias("dup_tokens"))
     )
     n_dup = dup_pos.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
     base = toked.select(
@@ -865,7 +865,6 @@ def crossdoc_cut(
         )
     )
     joined = toked.join(ranges, "doc_id", "left").join(owned, "doc_id", "left")
-    idx = F.col("i")
     keep_tok = lambda pair: ~F.exists(  # noqa: E731
         F.col("cuts"), lambda c: (pair["i"] >= c["lo"]) & (pair["i"] < c["hi"])
     )
