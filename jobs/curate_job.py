@@ -75,13 +75,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--crossdoc-mode", choices=("gate", "cut"), default="gate",
         help="gate: drop docs whose duplicated coverage exceeds the "
         "threshold; cut: remove the duplicated spans themselves, keeping "
-        "one canonical copy corpus-wide (Lee et al. 2022 ExactSubstr "
-        "treatment) and dropping docs cut to nothing",
+        "at least one canonical copy corpus-wide (Lee et al. 2022 "
+        "ExactSubstr treatment; owner-protected, so overlapping spans "
+        "cannot delete every copy) and dropping docs cut to nothing. "
+        "Note: docs the cut touches are whitespace-normalized by the "
+        "token-boundary rebuild; untouched docs pass through verbatim",
     )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
     args = p.parse_args(argv)
+    if args.crossdoc_mode == "cut" and args.crossdoc_max_frac is not None:
+        raise SystemExit(
+            "--crossdoc-max-frac applies to the drop gate only; "
+            "--crossdoc-mode cut removes spans unconditionally "
+            "(pass one or the other)"
+        )
     if args.write_band_index and args.write_band_index == args.band_index:
         raise SystemExit(
             "--write-band-index must differ from --band-index (parquet "
@@ -174,12 +183,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from newocr_spark.analytics.textstats import crossdoc_cut
 
             cut = crossdoc_cut(kept).select(
-                "doc_id", F.col("clean_text").alias("_xd_text")
+                "doc_id", F.col("clean_text").alias("_xd_text"), "n_cut"
             )
+            # untouched docs (n_cut == 0) pass their original text through
+            # verbatim (crossdoc_cut only rebuilds docs it actually cut);
+            # drop a doc only when the CUT emptied it — a doc that was
+            # already empty stays, exactly as in gate mode
             kept = (
                 kept.join(cut, "doc_id")
-                .filter(F.length(F.trim("_xd_text")) > 0)
-                .drop("text")
+                .filter(
+                    (F.col("n_cut") == 0)
+                    | (F.length(F.trim("_xd_text")) > 0)
+                )
+                .drop("text", "n_cut")
                 .withColumnRenamed("_xd_text", "text")
             )
         else:

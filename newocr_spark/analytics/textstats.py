@@ -594,7 +594,6 @@ def repetition_stats_sql(
     FROM fr
     """
 
-
 # ---------------------------------------------------------------------------
 # Cross-document duplicate substrings (ExactSubstr-style)
 # ---------------------------------------------------------------------------
@@ -603,50 +602,18 @@ CROSSDOC_WINDOW = 8      # tokens; same width precedent as decontaminate()
 CROSSDOC_MAX_FRAC = 0.5  # keep gate: duplicated-token coverage ceiling
 
 
-def crossdoc_substrings(
-    docs: DataFrame,
-    window: int = CROSSDOC_WINDOW,
-    min_docs: int = 2,
-    max_frac: float = CROSSDOC_MAX_FRAC,
-) -> DataFrame:
-    """Cross-document duplicated-substring coverage + keep gate — the
-    ExactSubstr half of Lee et al. 2022 ("Deduplicating Training Data
-    Makes Language Models Better", arXiv:2107.06499): document-level
-    dedup (exact_duplicates / minhash) misses a boilerplate PARAGRAPH
-    pasted into thousands of otherwise-unique pages; substring-level
-    dedup catches it. The paper builds a corpus suffix array to find
-    variable-length duplicate spans >= 50 tokens; the distributed form
-    here is the fixed-window equivalence: a span of length >= `window`
-    is duplicated across docs iff ALL its length-`window` token windows
-    are, so window-level matching recovers exactly the >= window-token
-    duplicated coverage.
-
-    Per doc:
-      n_tok           — whitespace token count
-      n_windows       — token windows of length `window`
-      n_dup_windows   — windows also present in >= min_docs-1 OTHER docs
-      dup_tokens      — tokens covered by >= 1 duplicated window
-                        (overlapping windows merged interval-union style,
-                        so a token is never counted twice)
-      dup_token_frac  — dup_tokens / n_tok
-      keep            — dup_token_frac <= max_frac
-
-    100 TB shape: windows are reduced in-codegen to xxhash64 of the
-    sliced token array (same 8-byte-longs-only exchange discipline and
-    ~1e-9 collision caveat as repetition_stats — a collision can only
-    nudge a coverage count); the global duplicate-window set is ONE
-    (g64) hash-aggregate with map-side partial distinct-doc counts, fed
-    back by a semi-join on the 8-byte key; coverage is one per-doc
-    window (single doc_id shuffle) doing an interval-union
-    gaps-and-islands pass. Everything is O(total tokens) rows — no
-    pairwise term anywhere, unlike the pairs-producing dedup family,
-    so duplicate-heavy corpora cannot blow it up (B copies of a page
-    contribute B window rows, not B^2 candidates)."""
+def _hashed_windows(docs: DataFrame, window: int):
+    """Shared front end of the crossdoc operators: (toked, wins) where
+    toked = (doc_id, text, toks) with lineage truncated, and wins =
+    (doc_id, pos, g64) — every length-`window` token window reduced
+    in-codegen to xxhash64 of the sliced token array, so only 8-byte longs
+    ever ride the downstream exchanges (same equality-class compression
+    and ~1e-9 collision caveat as repetition_stats)."""
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)  # similarity._spread
     toked = docs.select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
     toks = F.col("toks")
     wins = toked.select(
@@ -664,6 +631,77 @@ def crossdoc_substrings(
             ).otherwise(F.array().cast("array<struct<pos:int,g64:bigint>>"))
         ).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g64").alias("g64"))
+    return toked, wins
+
+
+def _interval_islands(pos_df: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos) window starts → (doc_id, isl, lo, hi) interval-union
+    islands, where each window covers [pos, pos + window). A window starts
+    a new island iff it begins at/after every previous window's end
+    (adjacent-but-disjoint islands sum identically, so only true overlap
+    is merged)."""
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pos_df.withColumn(
+            "new_isl",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") >= prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("lo"),
+            F.max(F.col("pos") + window).alias("hi"),  # exclusive
+        )
+    )
+
+
+def crossdoc_substrings(
+    docs: DataFrame,
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+    max_frac: float = CROSSDOC_MAX_FRAC,
+) -> DataFrame:
+    """Cross-document duplicated-substring coverage + keep gate — the
+    ExactSubstr half of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): document-level
+    dedup (exact_duplicates / minhash) misses a boilerplate PARAGRAPH
+    pasted into thousands of otherwise-unique pages; substring-level
+    dedup catches it. The paper builds a corpus suffix array to find
+    variable-length duplicate spans; the distributed form here is the
+    fixed-window equivalence: a span of length >= `window` is duplicated
+    across docs iff ALL its length-`window` token windows are, so
+    window-level matching recovers exactly the >= window-token
+    duplicated coverage.
+
+    Per doc:
+      n_tok           — whitespace token count
+      n_windows       — token windows of length `window`
+      n_dup_windows   — windows also present in >= min_docs-1 OTHER docs
+      dup_tokens      — tokens covered by >= 1 duplicated window
+                        (overlapping windows merged interval-union style,
+                        so a token is never counted twice)
+      dup_token_frac  — dup_tokens / n_tok
+      keep            — dup_token_frac <= max_frac
+
+    100 TB shape: windows ride the exchanges as 8-byte longs
+    (_hashed_windows); the global duplicate-window set is ONE (g64)
+    hash-aggregate with map-side partial distinct-doc counts, fed back by
+    a semi-join on the 8-byte key; coverage is one per-doc window (single
+    doc_id shuffle) doing an interval-union gaps-and-islands pass.
+    Everything is O(total tokens) rows — no pairwise term anywhere,
+    unlike the pairs-producing dedup family, so duplicate-heavy corpora
+    cannot blow it up (B copies of a page contribute B window rows, not
+    B^2 candidates)."""
+    toked, wins = _hashed_windows(docs, window)
+    toks = F.col("toks")
     dup_keys = (
         wins.groupBy("g64")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -671,25 +709,10 @@ def crossdoc_substrings(
         .select("g64")
     )
     dup_pos = wins.join(dup_keys, "g64", "leftsemi")
-    # interval union per doc: window at pos covers [pos, pos + window);
-    # a window starts a new island iff it begins at/after every previous
-    # window's end (adjacent-but-disjoint islands sum identically)
-    w_ord = W.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + window).over(
-        w_ord.rowsBetween(W.unboundedPreceding, -1)
-    )
-    islands = dup_pos.withColumn(
-        "new_isl",
-        F.when(prev_max_end.isNull() | (F.col("pos") >= prev_max_end), 1).otherwise(0),
-    ).withColumn(
-        "isl",
-        F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
-    )
     per_doc_dup = (
-        islands.groupBy("doc_id", "isl")
-        .agg((F.max(F.col("pos") + window) - F.min("pos")).alias("covered"))
+        _interval_islands(dup_pos, window)
         .groupBy("doc_id")
-        .agg(F.sum("covered").alias("dup_tokens"))
+        .agg(F.sum(F.col("hi") - F.col("lo")).alias("dup_tokens"))
     )
     n_dup = dup_pos.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
     base = toked.select(
@@ -697,9 +720,9 @@ def crossdoc_substrings(
         F.size(toks).alias("n_tok"),
         F.greatest(F.size(toks) - window + 1, F.lit(0)).alias("n_windows"),
     )
-    out = (
+    return (
         base.join(n_dup, "doc_id", "left")
-        .join(per_doc_dup.select("doc_id", "dup_tokens"), "doc_id", "left")
+        .join(per_doc_dup, "doc_id", "left")
         .select(
             "doc_id",
             "n_tok",
@@ -712,7 +735,143 @@ def crossdoc_substrings(
         )
         .withColumn("keep", F.col("dup_token_frac") <= max_frac)
     )
-    return out
+
+
+def crossdoc_cut(
+    docs: DataFrame,
+    window: int = CROSSDOC_WINDOW,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL — the actual treatment
+    in Lee et al. 2022 (arXiv:2107.06499 §4: ExactSubstr "deduplicates two
+    documents by removing one of the duplicated spans", rather than
+    dropping whole documents as the crossdoc_substrings gate does). Every
+    duplicated window names a canonical owner (the minimum doc_id sharing
+    it — deterministic, no RNG); the owner's occurrence interval is
+    PROTECTED, and every other doc has its unprotected duplicated
+    intervals cut. Protection is positional: a doc never cuts a token
+    covered by a window it owns, so every duplicated window provably
+    survives in at least its owner doc even when duplicated spans with
+    different owners overlap (per-window ownership with naive
+    interval-union cutting can delete every copy: if the owner's
+    occurrence is itself inside a span owned by another doc, both copies
+    would be cut — the sweep below subtracts owned coverage first).
+
+    Output per doc:
+      clean_text  — docs with nothing to cut pass their text through
+                    VERBATIM; cut docs are rebuilt from the surviving
+                    tokens (token-boundary exact, single-space rejoin —
+                    whitespace inside a cut doc is normalized, the
+                    tokenizer being \\s+-based)
+      n_cut       — tokens removed
+      kept_copy   — true iff this doc owns at least one duplicated window
+
+    100 TB shape: identical exchange discipline to crossdoc_substrings
+    (_hashed_windows longs, one global (g64) aggregate now also carrying
+    min(doc_id)); the owned/non-owned coverage subtraction is a single
+    per-doc event sweep (±1 deltas at interval ends, two running sums,
+    one doc_id shuffle); the cut itself is a JVM higher-order filter over
+    the token array — no Python, text never explodes."""
+    toked, wins = _hashed_windows(docs, window)
+    toks = F.col("toks")
+    dup_keys = (
+        wins.groupBy("g64")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("g64", "owner")
+    )
+    tagged = wins.join(dup_keys, "g64").select(
+        "doc_id",
+        "pos",
+        (F.col("doc_id") == F.col("owner")).alias("is_owner"),
+    )
+    owned = (
+        tagged.filter("is_owner").select("doc_id").distinct()
+        .withColumn("kept_copy", F.lit(True))
+    )
+    # event sweep: +1/-1 deltas at [pos, pos+window) boundaries, summed per
+    # (doc, position) so tie order cannot matter, then two running
+    # coverage counts; a segment [pos, next_pos) is cut iff it is covered
+    # by >= 1 NON-owned duplicated window and 0 owned ones
+    delta_no = F.when(~F.col("is_owner"), F.col("d")).otherwise(0)
+    delta_ow = F.when(F.col("is_owner"), F.col("d")).otherwise(0)
+    events = (
+        tagged.select(
+            "doc_id", "is_owner", F.col("pos").alias("p"), F.lit(1).alias("d")
+        )
+        .unionByName(
+            tagged.select(
+                "doc_id",
+                "is_owner",
+                (F.col("pos") + window).alias("p"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("doc_id", "p")
+        .agg(
+            F.sum(delta_no).alias("dn"),
+            F.sum(delta_ow).alias("dow"),
+        )
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("p")
+    run = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    swept = events.select(
+        "doc_id",
+        F.col("p").alias("lo"),
+        F.lead("p").over(w_ord).alias("hi"),
+        F.sum("dn").over(run).alias("n_cov"),
+        F.sum("dow").over(run).alias("o_cov"),
+    ).filter(
+        F.col("hi").isNotNull()
+        & (F.col("n_cov") > 0)
+        & (F.col("o_cov") == 0)
+    )
+    ranges = swept.groupBy("doc_id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("cuts"),
+        F.sum(F.col("hi") - F.col("lo")).alias("n_cut"),
+    )
+    joined = toked.join(ranges, "doc_id", "left").join(owned, "doc_id", "left")
+    keep_tok = lambda pair: ~F.exists(  # noqa: E731
+        F.col("cuts"), lambda c: (pair["i"] >= c["lo"]) & (pair["i"] < c["hi"])
+    )
+    cleaned = F.when(F.col("cuts").isNull(), F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        toks,
+                        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                    ),
+                    keep_tok,
+                ),
+                lambda p: p["t"],
+            ),
+            " ",
+        )
+    )
+    return joined.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
+        F.coalesce("kept_copy", F.lit(False)).alias("kept_copy"),
+    )
+
+
+def _windows_cte(window: int, docs_cte: str) -> str:
+    """Shared SQL front end of the crossdoc oracle mirrors: src/t/w CTE
+    bodies producing (doc_id, pos, gram) — gram STRINGS as the equality
+    classes (the Spark side's hash is only a compression, so string
+    grouping reproduces the same aggregates)."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""src AS ({docs_cte}),
+    t AS (SELECT doc_id, text, {toks} AS toks FROM src),
+    w AS (SELECT doc_id, i.i AS pos,
+                 array_to_string(toks[i.i : i.i + {window - 1}], ' ') AS gram
+          FROM t, LATERAL (SELECT UNNEST(generate_series(
+                 1, len(toks) - {window - 1})) AS i) i)"""
 
 
 def crossdoc_substrings_sql(
@@ -721,18 +880,10 @@ def crossdoc_substrings_sql(
     max_frac: float = CROSSDOC_MAX_FRAC,
     docs_cte: str = "SELECT doc_id, text FROM documents",
 ) -> str:
-    """DuckDB mirror of crossdoc_substrings over gram STRINGS (the hash is
-    only an equality-class compression, so string grouping reproduces the
-    same aggregates). `docs_cte` lets the contract query feed the
-    contamination-injected corpus."""
-    toks = "string_split_regex(trim(text), '\\s+')"
+    """DuckDB mirror of crossdoc_substrings. `docs_cte` lets the contract
+    query feed the contamination-injected corpus."""
     return f"""
-    WITH src AS ({docs_cte}),
-    t AS (SELECT doc_id, {toks} AS toks FROM src),
-    w AS (SELECT doc_id, i.i AS pos,
-                 array_to_string(toks[i.i : i.i + {window - 1}], ' ') AS gram
-          FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 1, len(toks) - {window - 1})) AS i) i),
+    WITH {_windows_cte(window, docs_cte)},
     d AS (SELECT gram FROM w GROUP BY gram
           HAVING count(DISTINCT doc_id) >= {min_docs}),
     p AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)),
@@ -775,168 +926,45 @@ def crossdoc_substrings_sql(
     """
 
 
-def crossdoc_cut(
-    docs: DataFrame,
-    window: int = CROSSDOC_WINDOW,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Cross-document duplicated-substring REMOVAL — the actual treatment
-    in Lee et al. 2022 (arXiv:2107.06499 §4: ExactSubstr "deduplicates two
-    documents by removing one of the duplicated spans", rather than
-    dropping whole documents as the crossdoc_substrings gate does). Every
-    duplicated window names a canonical owner (the minimum doc_id sharing
-    it — deterministic, no RNG); the owner keeps its text, every other doc
-    has the covered token interval cut. Output per doc:
-
-      clean_text  — text with non-canonical duplicated intervals removed
-                    (token-boundary exact; single-space rejoin)
-      n_cut       — tokens removed
-      kept_copy   — true iff this doc owns at least one of its duplicated
-                    windows (it is the canonical copy somewhere)
-
-    100 TB shape: identical exchange discipline to crossdoc_substrings —
-    windows as in-codegen xxhash64 longs, one global (g64) aggregate now
-    also carrying min(doc_id), one join back, one per-doc interval-union
-    window; the cut itself is a JVM higher-order filter over the token
-    array (no Python, no explode of text). Token-boundary whitespace is
-    normalized by the rejoin (the tokenizer splits on \\s+), matching the
-    oracle exactly."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-    toked = docs.select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
-    toks = F.col("toks")
-    wins = toked.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(toks) >= window,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - window),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(F.slice(toks, i + 1, window)).alias("g64"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,g64:bigint>>"))
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g64").alias("g64"))
-    dup_keys = (
-        wins.groupBy("g64")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("owner"),
-        )
-        .filter(F.col("nd") >= min_docs)
-        .select("g64", "owner")
-    )
-    # positions to cut: duplicated windows in every NON-owner doc
-    cut_pos = wins.join(dup_keys, "g64").filter(F.col("doc_id") != F.col("owner"))
-    owned = (
-        wins.join(dup_keys, "g64")
-        .filter(F.col("doc_id") == F.col("owner"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("kept_copy", F.lit(True))
-    )
-    w_ord = W.partitionBy("doc_id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + window).over(
-        w_ord.rowsBetween(W.unboundedPreceding, -1)
-    )
-    islands = cut_pos.withColumn(
-        "new_isl",
-        F.when(prev_max_end.isNull() | (F.col("pos") >= prev_max_end), 1).otherwise(0),
-    ).withColumn(
-        "isl",
-        F.sum("new_isl").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    ranges = (
-        islands.groupBy("doc_id", "isl")
-        .agg(
-            F.min("pos").alias("lo"),
-            F.max(F.col("pos") + window).alias("hi"),  # exclusive
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("lo", "hi")).alias("cuts"),
-            F.sum(F.col("hi") - F.col("lo")).alias("n_cut"),
-        )
-    )
-    joined = toked.join(ranges, "doc_id", "left").join(owned, "doc_id", "left")
-    keep_tok = lambda pair: ~F.exists(  # noqa: E731
-        F.col("cuts"), lambda c: (pair["i"] >= c["lo"]) & (pair["i"] < c["hi"])
-    )
-    cleaned = F.when(
-        F.col("cuts").isNull(), F.array_join(toks, " ")
-    ).otherwise(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.transform(
-                        toks,
-                        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-                    ),
-                    keep_tok,
-                ),
-                lambda p: p["t"],
-            ),
-            " ",
-        )
-    )
-    return joined.select(
-        "doc_id",
-        cleaned.alias("clean_text"),
-        F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
-        F.coalesce("kept_copy", F.lit(False)).alias("kept_copy"),
-    )
-
-
 def crossdoc_cut_sql(
     window: int = CROSSDOC_WINDOW,
     min_docs: int = 2,
     docs_cte: str = "SELECT doc_id, text FROM documents",
 ) -> str:
-    """DuckDB mirror of crossdoc_cut (gram strings as the equality
-    classes; whitespace-normalized rejoin on both sides)."""
-    toks = "string_split_regex(trim(text), '\\s+')"
+    """DuckDB mirror of crossdoc_cut — the same owned/non-owned event
+    sweep over gram strings; untouched docs pass text through verbatim."""
     return f"""
-    WITH src AS ({docs_cte}),
-    t AS (SELECT doc_id, {toks} AS toks FROM src),
-    w AS (SELECT doc_id, i.i AS pos,
-                 array_to_string(toks[i.i : i.i + {window - 1}], ' ') AS gram
-          FROM t, LATERAL (SELECT UNNEST(generate_series(
-                 1, len(toks) - {window - 1})) AS i) i),
+    WITH {_windows_cte(window, docs_cte)},
     d AS (SELECT gram, min(doc_id) AS owner FROM w GROUP BY gram
           HAVING count(DISTINCT doc_id) >= {min_docs}),
-    cutp AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)
-             WHERE w.doc_id <> d.owner),
-    owned AS (SELECT DISTINCT w.doc_id FROM w JOIN d USING (gram)
-              WHERE w.doc_id = d.owner),
-    isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN max(pos + {window}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  IS NULL
-               OR pos >= max(pos + {window}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             THEN 1 ELSE 0 END AS new_isl
-      FROM cutp),
-    isl2 AS (
-      SELECT doc_id, pos,
-             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-      FROM isl),
-    rng AS (SELECT doc_id, isl, min(pos) AS lo, max(pos + {window}) AS hi
-            FROM isl2 GROUP BY doc_id, isl),
+    tagged AS (SELECT w.doc_id, w.pos, (w.doc_id = d.owner) AS is_owner
+               FROM w JOIN d USING (gram)),
+    owned AS (SELECT DISTINCT doc_id FROM tagged WHERE is_owner),
+    events AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN NOT is_owner THEN dd ELSE 0 END) AS dn,
+             sum(CASE WHEN is_owner THEN dd ELSE 0 END) AS dow
+      FROM (
+        SELECT doc_id, is_owner, pos AS p, 1 AS dd FROM tagged
+        UNION ALL
+        SELECT doc_id, is_owner, pos + {window} AS p, -1 AS dd FROM tagged)
+      GROUP BY doc_id, p),
+    swept AS (
+      SELECT doc_id, p AS lo,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS hi,
+             sum(dn) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cov,
+             sum(dow) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_cov
+      FROM events),
+    rng AS (SELECT doc_id, lo, hi FROM swept
+            WHERE hi IS NOT NULL AND n_cov > 0 AND o_cov = 0),
     cut_stats AS (SELECT doc_id, sum(hi - lo) AS n_cut FROM rng
                   GROUP BY doc_id),
     toks_pos AS (
       SELECT t.doc_id, p.i AS pos, toks[p.i] AS tok
-      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) p),
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) p
+      WHERE t.doc_id IN (SELECT doc_id FROM cut_stats)),
     kept AS (
       SELECT tp.doc_id, tp.pos, tp.tok
       FROM toks_pos tp
@@ -948,7 +976,8 @@ def crossdoc_cut_sql(
       SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id)
     SELECT t.doc_id,
-           COALESCE(rb.clean_text, '') AS clean_text,
+           CASE WHEN cs.doc_id IS NULL THEN t.text
+                ELSE COALESCE(rb.clean_text, '') END AS clean_text,
            CAST(COALESCE(cs.n_cut, 0) AS BIGINT) AS n_cut,
            (ow.doc_id IS NOT NULL) AS kept_copy
     FROM t

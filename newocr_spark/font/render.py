@@ -19,8 +19,8 @@ from __future__ import annotations
 import numpy as np
 
 from .glyphs import (
-    CELL_HEIGHT, DEFAULT_FACE, FontFace, GLYPHS, LINE_GAP, MARGIN_LEFT,
-    SPACE_WIDTH, TRACKING, pt_to_scale,
+    DEFAULT_FACE, FontFace, GLYPHS, MARGIN_LEFT, SPACE_WIDTH, TRACKING,
+    pt_to_scale,
 )
 
 # The reference's scan/train alphabets (recognition/OCRScan.java:39,

@@ -310,3 +310,60 @@ def test_crossdoc_cut_keeps_one_canonical_copy(spark):
     # corpus-wide: exactly one copy of the boilerplate text survives
     survivors = [r.clean_text for r in out.values() if boiler in r.clean_text]
     assert len(survivors) == 1
+
+
+def test_crossdoc_cut_overlapping_owners_never_lose_all_copies(spark):
+    """Regression (review finding): per-window ownership with naive
+    interval-union cutting deletes EVERY copy when duplicated spans with
+    different owners overlap — doc 1 owns gram B but is a non-owner of the
+    overlapping gram A, so a naive cut removes its protected copy while
+    doc 2's copy of B is cut because doc 1 'owns' it. The owner-protected
+    sweep must keep doc 1's occurrence of B intact."""
+    from newocr_spark.analytics.textstats import crossdoc_cut
+
+    a = [f"a{i}" for i in range(1, 9)]          # gram A = a1..a8
+    b = [f"b{i}" for i in range(1, 5)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(a)),                    # owns A
+            (1, " ".join(a + b)),                # owns B = a5..a8 b1..b4
+            (2, " ".join(a[4:] + b)),            # non-owner of B
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in crossdoc_cut(docs, window=8).collect()}
+    # doc 0: canonical copy of A survives verbatim
+    assert out[0].clean_text == " ".join(a) and out[0].n_cut == 0
+    # doc 1: only the A-prefix outside its owned B-occurrence is cut —
+    # its canonical copy of B (a5..a8 b1..b4) survives
+    assert out[1].clean_text == " ".join(a[4:] + b), out[1]
+    assert out[1].n_cut == 4 and out[1].kept_copy
+    # doc 2: pure non-owner duplicate of B — cut to nothing
+    assert out[2].clean_text == "" and out[2].n_cut == 8
+    # corpus-wide: both duplicated grams survive somewhere
+    survivors = " || ".join(r.clean_text for r in out.values())
+    assert " ".join(a) in survivors and " ".join(a[4:] + b) in survivors
+
+
+def test_crossdoc_cut_passes_untouched_docs_verbatim(spark):
+    """Docs the cut never touches keep their original whitespace exactly
+    (no token-rejoin normalization); only cut docs are rebuilt."""
+    from newocr_spark.analytics.textstats import crossdoc_cut
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    weird = "para1\n\npara2\t tabbed   runs"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} one"),
+            (2, f"{boiler} two"),
+            (3, weird),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in crossdoc_cut(docs, window=8).collect()}
+    assert out[3].clean_text == weird and out[3].n_cut == 0
+    assert out[4].clean_text == "" and out[4].n_cut == 0
+    assert out[1].n_cut == 0 and out[1].kept_copy      # owner keeps verbatim
+    assert out[1].clean_text == f"{boiler} one"
+    assert out[2].n_cut == 10 and out[2].clean_text == "two"
