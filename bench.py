@@ -43,6 +43,24 @@ BENCH_QUERIES = (
     "neardup_recall",
 )
 
+# Queries whose IMPLEMENTATION deliberately grew between rounds. The warm
+# floor folds every recorded same-sf round, so a query that now computes
+# strictly more than when an old floor was recorded would read as
+# regression_suspect forever against a floor that measures a smaller job.
+# These are exempted from the floor-based regression check and reported
+# under noise.design_changed WITH the measured vs-floor ratio and the
+# reason — the number stays visible, labeled as an expected cost change
+# instead of a suspected regression, so the artifact cannot hide a real
+# slowdown behind the exemption.
+DESIGN_CHANGED = {
+    "repetition_stats": (
+        "round 5 extended the gate from tokens+bigrams to the full Gopher "
+        "battery (top 2-4-gram fractions + duplicate 5-10-gram character "
+        "fractions, Rae et al. 2021 table A1): ~4x the gram streams of the "
+        "bigram-only implementation the pre-r5 floors measure"
+    ),
+}
+
 
 def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 24) -> dict:
     from pyspark.sql import functions as F
@@ -211,6 +229,7 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             cycles[name].append(timed_pass(fn))
     noise: dict[str, float] = {}
     regression_suspect: dict[str, float] = {}
+    design_changed: dict[str, dict] = {}
     budget_exhausted: list[str] = []
     # cycles disagreeing wildly -> captures sat in noise windows; keep
     # adding spaced observations (up to 7 per query) until two agree
@@ -239,17 +258,26 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
 
     for name, obs in cycles.items():
         p = prev_q.get(name) if prev_ok else None
+        # a floor recorded before an intentional cost increase measures a
+        # smaller job — don't chase it with retries or flag it as a
+        # regression; the ratio is still reported (design_changed below)
+        p_guard = None if name in DESIGN_CHANGED else p
 
         def _resolved() -> bool:
-            return _agreed(obs) and not (p and min(obs) > 3.0 * p)
+            return _agreed(obs) and not (p_guard and min(obs) > 3.0 * p_guard)
 
         while not _resolved() and len(obs) < 7 and retry_budget > 0:
             obs.append(timed_pass(runnables[name]))
             retry_budget -= 1
         if max(obs) / max(min(obs), 1e-9) > 3.0:
             noise[name] = round(max(obs) / max(min(obs), 1e-9), 2)
-        if p and min(obs) > 3.0 * p:
-            regression_suspect[name] = round(min(obs) / p, 2)
+        if p_guard and min(obs) > 3.0 * p_guard:
+            regression_suspect[name] = round(min(obs) / p_guard, 2)
+        if name in DESIGN_CHANGED and p and min(obs) > 3.0 * p:
+            design_changed[name] = {
+                "vs_floor": round(min(obs) / p, 2),
+                "note": DESIGN_CHANGED[name],
+            }
         if not _resolved() and retry_budget <= 0:
             budget_exhausted.append(name)
         timings[name] = round(min(obs), 3)
@@ -305,6 +333,10 @@ def run_bench(sf_dir: str, cpus: int, ocr_docs: int = 500, ocr_replicate: int = 
             "cycles": 2,
             "flagged": noise,
             "regression_suspect": regression_suspect,
+            # design_changed: min > 3x a floor that predates an intentional
+            # implementation growth (DESIGN_CHANGED) — an expected cost
+            # change, reported with its ratio + reason, NOT a regression.
+            "design_changed": design_changed,
             "budget_exhausted": budget_exhausted,
         },
     }
