@@ -14,11 +14,14 @@ documented in analytics/curation.py / analytics/dedup.py):
   [incremental mode] gate the input against a persisted band-signature
       index (--band-index; dedup.incremental_neardup) — a daily crawl
       increment never re-LSHes history; docs colliding with any indexed
-      band are near-dups of prior ingests and drop here. The dedup-stage
-      survivors' bands union into the index at --write-band-index (must
-      differ from --band-index: parquet can't overwrite its own input —
-      an Iceberg store would append instead), making re-crawls
-      idempotent across job runs.
+      band are near-dups of prior ingests and drop here. The bands of
+      every doc admitted past ALL quality gates (computed on its
+      original, pre-cut/pre-scrub text) union into the index at
+      --write-band-index (must differ from --band-index: parquet can't
+      overwrite its own input — an Iceberg store would append instead),
+      making re-crawls idempotent across job runs; quality-rejected docs
+      stay out of the index so their re-crawls re-gate on their own
+      merits.
   → near-dup cluster resolution (MinHash-LSH → connected components;
       exact duplicates are collapsed by content hash BEFORE banding, so
       boilerplate-heavy crawls — 30-50% exact copies — never produce
@@ -135,17 +138,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     kept = docs.join(drop_dups, "doc_id", "left_anti")
 
-    # the index covers the DEDUP-stage survivors: future increments
-    # near-duplicating anything admitted here are suppressed at stage 0
-    # (quality-gated docs are left out — their re-crawls re-gate cheaply)
-    if args.write_band_index:
-        new_bands = band_index(kept)
-        if args.band_index:
-            new_bands = spark.read.parquet(args.band_index).unionByName(
-                new_bands
-            )
-        new_bands.write.mode("overwrite").parquet(args.write_band_index)
-
     # 2. benchmark decontamination: drop the benchmark slice itself (eval
     # docs are not training data) and every training doc overlapping it.
     # --benchmark-mod 0 disables the stage. --decon-n defaults to the
@@ -214,6 +206,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 .select("doc_id")
             )
             kept = kept.join(xd, "doc_id", "left_anti")
+
+    # 2d. the index covers the docs admitted PAST every quality gate:
+    # future increments near-duplicating anything admitted here are
+    # suppressed at stage 0, while quality-gated docs are genuinely left
+    # out — their re-crawls re-gate cheaply on their own merits instead of
+    # being suppressed by a rejected ancestor. Bands are computed on the
+    # survivors' ORIGINAL text (semi-join back to the input): the crossdoc
+    # cut and the PII scrub below rewrite text, but future increments
+    # arrive as raw crawls and must collide with raw-text signatures.
+    if args.write_band_index:
+        new_bands = band_index(
+            docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        )
+        if args.band_index:
+            new_bands = spark.read.parquet(args.band_index).unionByName(
+                new_bands
+            )
+        new_bands.write.mode("overwrite").parquet(args.write_band_index)
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

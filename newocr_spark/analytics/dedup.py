@@ -332,12 +332,42 @@ def _exact_groups(docs: DataFrame) -> DataFrame:
     return h.join(canon, "th").select("doc_id", "canon")
 
 
+def _sideline_hot_buckets(
+    df: DataFrame, keys: list[str], max_size: int, label: str
+) -> DataFrame:
+    """Drop every bucket (group on `keys`) holding more than `max_size`
+    rows, logging the sidelined-bucket count — the shared bounded-recall
+    escape hatch of the LSH paths (minhash bands here, embedding
+    hyperplane cells in similarity.lsh_neardup_pairs): recall is lost
+    only for pairs whose EVERY co-occurrence falls in a sidelined bucket.
+    The oversized set is one row per pathological bucket — tiny —
+    localCheckpoint evaluates it once for the log AND the anti-join."""
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_size)
+        .select(*keys)
+        .localCheckpoint()
+    )
+    n_over = oversized.count()
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: sidelining %d (%s) buckets larger than %d rows (recall "
+            "loss is bounded to pairs only co-occurring in sidelined "
+            "buckets)",
+            label, n_over, ", ".join(keys), max_size,
+        )
+    return df.join(oversized, keys, "left_anti")
+
+
 def _rep_pairs(
     docs: DataFrame,
     n: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Banded-LSH near-dup machinery over exact-duplicate CANONICAL
     REPRESENTATIVES only — the hot-bucket fix for duplicate-heavy corpora.
 
@@ -389,24 +419,9 @@ def _rep_candidates(
     sigs = _signatures_from(sh)
     bands = _band_rows(sigs)
     if max_bucket_size is not None:
-        oversized = (
-            bands.groupBy("band", "sig")
-            .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") > max_bucket_size)
-            .select("band", "sig")
-            .localCheckpoint()  # tiny; evaluated once for the log + the join
+        bands = _sideline_hot_buckets(
+            bands, ["band", "sig"], max_bucket_size, "minhash LSH"
         )
-        n_over = oversized.count()
-        if n_over:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash LSH: sidelining %d band buckets larger than %d "
-                "rows (recall loss is bounded to pairs only co-occurring "
-                "in oversized buckets)",
-                n_over, max_bucket_size,
-            )
-        bands = bands.join(oversized, ["band", "sig"], "left_anti")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cands = (
@@ -518,6 +533,62 @@ def incremental_neardup(
     )
 
 
+def _expand_member_pairs(
+    groups: DataFrame,
+    rep_pairs: DataFrame,
+    eligible: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    score_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Expand canonical-representative pairs back to member pairs — the
+    shared back end of the exact-duplicate collapse in minhash_lsh_pairs
+    (ids doc_*, score jaccard) and similarity.lsh_neardup_pairs (ids
+    vec_*, score cosine):
+
+      * cross-group: members of group A x members of group B inherit the
+        rep pair's score verbatim (identical payloads have identical
+        shingle sets / identical vectors, so every member pair's exact
+        score IS the reps');
+      * within-group: exact copies are score-1.0 pairs by definition,
+        PROVIDED the canon is in `eligible` (a one-column `canon` frame:
+        reps with >= 1 shingle / nonzero norm — degenerate payloads never
+        pair, matching the uncollapsed plan);
+      * threshold > 1.0 is the degenerate setting where even exact copies
+        no longer pass, so within-group pairs are filtered out.
+
+    `groups` is the (id_col, canon) exact-duplicate map; `rep_pairs` has
+    (a_col, b_col, score_col) over canonical ids."""
+    ma = groups.select(F.col("canon").alias(a_col), F.col(id_col).alias("m_a"))
+    mb = groups.select(F.col("canon").alias(b_col), F.col(id_col).alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, a_col)
+        .join(mb, b_col)
+        .select(
+            F.least("m_a", "m_b").alias(a_col),
+            F.greatest("m_a", "m_b").alias(b_col),
+            score_col,
+        )
+    )
+    dup_members = groups.join(eligible, "canon", "left_semi")
+    wa = dup_members.select("canon", F.col(id_col).alias("m_a"))
+    wb = dup_members.select("canon", F.col(id_col).alias("m_b"))
+    within = (
+        wa.join(wb, "canon")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias(a_col),
+            F.col("m_b").alias(b_col),
+            F.lit(1.0).alias(score_col),
+        )
+    )
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -550,34 +621,12 @@ def minhash_lsh_pairs(
     groups, rep_pairs, rep_shingled, _sh = _rep_pairs(
         docs, n, threshold, max_bucket_size
     )
-    ma = groups.select(F.col("canon").alias("doc_a"), F.col("doc_id").alias("m_a"))
-    mb = groups.select(F.col("canon").alias("doc_b"), F.col("doc_id").alias("m_b"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("m_a", "m_b").alias("doc_a"),
-            F.greatest("m_a", "m_b").alias("doc_b"),
-            "jaccard",
-        )
+    return _expand_member_pairs(
+        groups,
+        rep_pairs,
+        rep_shingled.withColumnRenamed("doc_id", "canon"),
+        "doc_id", "doc_a", "doc_b", "jaccard", threshold,
     )
-    dup_members = groups.join(
-        rep_shingled.withColumnRenamed("doc_id", "canon"), "canon", "left_semi"
-    )
-    wa = dup_members.select("canon", F.col("doc_id").alias("m_a"))
-    wb = dup_members.select("canon", F.col("doc_id").alias("m_b"))
-    within = (
-        wa.join(wb, "canon")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .select(
-            F.col("m_a").alias("doc_a"),
-            F.col("m_b").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    if threshold > 1.0:  # degenerate setting: exact copies no longer pass
-        within = within.filter(F.lit(False))
-    return cross.unionByName(within)
 
 
 class NonConvergenceError(RuntimeError):

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from .dedup import QUADRATIC_MAX_ROWS, _attach_broadcasts, guard_quadratic
+from .dedup import (
+    QUADRATIC_MAX_ROWS,
+    _attach_broadcasts,
+    _expand_member_pairs,
+    _sideline_hot_buckets,
+    guard_quadratic,
+)
 
 
 def _norm_expr(a: str):
@@ -56,6 +62,36 @@ def _dot_expr(a: str, b: str):
 
 def _cosine_expr(a: str, b: str):
     return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def _sorted_matrix(pdf, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(ids, mat, norms) from a pandas frame, id-sorted — the shared
+    matrix prep of the BLAS verify paths (embedding_neardup_pairs'
+    broadcast side and _bucket_verify's per-bucket kernel)."""
+    ids = pdf[id_col].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack(pdf[emb_col].to_numpy()[order]).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norms
+
+
+def _score_block(ids_a, mat_a, norms_a, ids_b, mat_b, norms_b, threshold):
+    """Shared BLAS verify core of embedding_neardup_pairs and
+    _bucket_verify: one matmul block → 6-digit HALF_UP-rounded cosines
+    (floor(x*1e6+0.5)/1e6, matching F.round / DuckDB round — NOT
+    np.round, whose banker's rounding flips exact .5 ties the other way)
+    → the (ids_a < ids_b, cosine >= threshold) keep mask. ONE
+    implementation so the bit-identical-values claim between the exact
+    baseline and the bucket kernel is true by construction; zero-norm
+    rows produce NaN cosines (errstate-silenced) that no >= threshold
+    comparison keeps."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
+    sims = np.floor(sims * 1e6 + 0.5) / 1e6
+    keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+    ii, jj = np.nonzero(keep)
+    return ids_a[ii], ids_b[jj], sims[ii, jj]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -170,12 +206,7 @@ def embedding_neardup_pairs(
     )
     spark = embeddings.sparkSession
     side = embeddings.select("vec_id", "embedding").toPandas()
-    ids = side["vec_id"].to_numpy(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.stack(side["embedding"].to_numpy()[order]).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    side_b = spark.sparkContext.broadcast((ids, mat, norms))
+    side_b = spark.sparkContext.broadcast(_sorted_matrix(side))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_all, m_all, n_all = side_b.value
@@ -185,15 +216,10 @@ def embedding_neardup_pairs(
             ai = pdf["vec_id"].to_numpy(np.int64)
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             na = np.sqrt((a * a).sum(axis=1))
-            sims = (a @ m_all.T) / np.outer(na, n_all)
-            # HALF_UP at 6 digits, matching F.round / DuckDB round — NOT
-            # np.round (banker's), which flips exact .5 ties the other way
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            keep = (sims >= threshold) & (ai[:, None] < ids_all[None, :])
-            ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": ai[ii], "vec_b": ids_all[jj], "cosine": sims[ii, jj]}
+            va, vb, cos = _score_block(
+                ai, a, na, ids_all, m_all, n_all, threshold
             )
+            yield pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos})
 
     return _attach_broadcasts(
         embeddings.select("vec_id", "embedding").mapInPandas(
@@ -480,22 +506,16 @@ def _bucket_verify(bucketed: DataFrame, threshold: float) -> DataFrame:
                  "vec_b": pd_.Series(dtype="int64"),
                  "cosine": pd_.Series(dtype="float64")}
             )
-        ids = pdf["vec_id"].to_numpy(np_.int64)
-        order = np_.argsort(ids)
-        ids = ids[order]
-        mat = np_.stack(pdf["embedding"].to_numpy()[order]).astype(np_.float64)
-        norms = np_.sqrt((mat * mat).sum(axis=1))
+        ids, mat, norms = _sorted_matrix(pdf)
         out_a, out_b, out_c = [], [], []
         for s in range(0, len(ids), 1024):
             e = min(s + 1024, len(ids))
-            with np_.errstate(invalid="ignore", divide="ignore"):
-                sims = (mat[s:e] @ mat.T) / np_.outer(norms[s:e], norms)
-            sims = np_.floor(sims * 1e6 + 0.5) / 1e6
-            keep = (sims >= threshold) & (ids[s:e, None] < ids[None, :])
-            ii, jj = np_.nonzero(keep)
-            out_a.append(ids[s + ii])
-            out_b.append(ids[jj])
-            out_c.append(sims[ii, jj])
+            va, vb, cos = _score_block(
+                ids[s:e], mat[s:e], norms[s:e], ids, mat, norms, threshold
+            )
+            out_a.append(va)
+            out_b.append(vb)
+            out_c.append(cos)
         return pd_.DataFrame(
             {"vec_a": np_.concatenate(out_a),
              "vec_b": np_.concatenate(out_b),
@@ -605,22 +625,9 @@ def lsh_neardup_pairs(
         *carry, F.posexplode(buckets_of("embedding")).alias("table", "bucket")
     )
     if max_bucket_size is not None:
-        oversized = (
-            bucketed.groupBy("table", "bucket")
-            .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") > max_bucket_size)
-            .select("table", "bucket")
-            .localCheckpoint()
+        bucketed = _sideline_hot_buckets(
+            bucketed, ["table", "bucket"], max_bucket_size, "embedding LSH"
         )
-        n_over = oversized.count()
-        if n_over:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "embedding LSH: sidelining %d (table, bucket) cells larger "
-                "than %d rows", n_over, max_bucket_size,
-            )
-        bucketed = bucketed.join(oversized, ["table", "bucket"], "left_anti")
     if strategy == "bucket-kernel":
         rep_pairs = _bucket_verify(bucketed, threshold).distinct()
     else:
@@ -645,35 +652,14 @@ def lsh_neardup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "cosine")
         )
-    ma = groups.select(F.col("canon").alias("vec_a"), F.col("vec_id").alias("m_a"))
-    mb = groups.select(F.col("canon").alias("vec_b"), F.col("vec_id").alias("m_b"))
-    cross = (
-        rep_pairs.join(ma, "vec_a")
-        .join(mb, "vec_b")
-        .select(
-            F.least("m_a", "m_b").alias("vec_a"),
-            F.greatest("m_a", "m_b").alias("vec_b"),
-            "cosine",
-        )
-    )
     nonzero = reps.filter(_norm_expr("embedding") > 0).select(
         F.col("vec_id").alias("canon")
     )
-    dup_members = groups.join(nonzero, "canon", "left_semi")
-    wa = dup_members.select("canon", F.col("vec_id").alias("m_a"))
-    wb = dup_members.select("canon", F.col("vec_id").alias("m_b"))
-    within = (
-        wa.join(wb, "canon")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .select(
-            F.col("m_a").alias("vec_a"),
-            F.col("m_b").alias("vec_b"),
-            F.lit(1.0).alias("cosine"),
-        )
+    expanded = _expand_member_pairs(
+        groups, rep_pairs, nonzero,
+        "vec_id", "vec_a", "vec_b", "cosine", threshold,
     )
-    if threshold > 1.0:
-        within = within.filter(F.lit(False))
-    return _attach_broadcasts(cross.unionByName(within), planes_b)
+    return _attach_broadcasts(expanded, planes_b)
 
 
 def lsh_precision_violations(
@@ -817,8 +803,15 @@ def neardup_recall(
     sampled = sample_max is not None and n_corpus > sample_max
     base = embeddings
     if sampled:
-        denom = 1_000_000
-        keep_buckets = int(denom * sample_max / n_corpus)
+        # target 90% of the guard, not 100%: the hash sample's size is
+        # ~Binomial(n_corpus, keep/denom), so a zero-slack target sized
+        # exactly to sample_max would EXCEED the quadratic guard on ~half
+        # of all corpora (sigma/mean ~ 1/sqrt(target) << 10%, so 90% is
+        # >20 sigma of headroom); max(1, ...) + a 1e9-bucket denominator
+        # keep the 1-bucket granularity meaningful up to ~sample_max*1e9
+        # corpus rows instead of rounding the fraction to zero
+        denom = 1_000_000_000
+        keep_buckets = max(1, int(denom * 0.9 * sample_max / n_corpus))
         base = embeddings.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) < keep_buckets
         )

@@ -392,12 +392,12 @@ def repetition_stats(
     width (fewer than n tokens) report zero fractions. Measured at
     sf0.1 local[32]: 8.0s (string grams, split tok/bigram pipelines) →
     2.3s warm."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
-        # small-file artifact guard (similarity._spread): the explode
-        # below is the compute-heavy stage; a single-row-group parquet
-        # source would run it as ONE task regardless of cluster size
-        docs = docs.repartition(sc.defaultParallelism)
+    from newocr_spark.analytics.similarity import _spread
+
+    # small-file artifact guard: the explode below is the compute-heavy
+    # stage; a single-row-group parquet source would run it as ONE task
+    # regardless of cluster size
+    docs = _spread(docs)
     toked = docs.select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     ).withColumn("lens", F.transform("toks", lambda x: F.length(x)))
@@ -609,10 +609,9 @@ def _hashed_windows(docs: DataFrame, window: int):
     in-codegen to xxhash64 of the sliced token array, so only 8-byte longs
     ever ride the downstream exchanges (same equality-class compression
     and ~1e-9 collision caveat as repetition_stats)."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)  # similarity._spread
-    toked = docs.select(
+    from newocr_spark.analytics.similarity import _spread
+
+    toked = _spread(docs).select(
         "doc_id", "text", _tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
     toks = F.col("toks")
