@@ -17,6 +17,19 @@ from ..model import FontModel
 from .extract import extract_spans
 
 
+def _idempotent_append(df: DataFrame, output_path: str, batch_id: int) -> None:
+    """Replay-safe foreachBatch sink. The file-source checkpoint gives
+    exactly-once PROGRESS, but a crash between a plain mode('append')
+    write and the micro-batch's checkpoint commit would replay the batch
+    and append its rows a second time. Structured Streaming replays an
+    uncommitted batch under the SAME batch_id, so writing each batch to
+    its own batch_id=N partition directory with overwrite makes the
+    replay overwrite its previous (possibly partial) output instead —
+    the standard idempotent-foreachBatch pattern. Readers of the output
+    root see batch_id as an extra partition column."""
+    df.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+
+
 def stream_extract(
     spark: SparkSession,
     documents_path: str,
@@ -42,7 +55,7 @@ def stream_extract(
         extracted = extract_spans(
             spark, batch_df, media, model, ocr_partitions=ocr_partitions
         )
-        extracted.write.mode("append").parquet(output_path)
+        _idempotent_append(extracted, output_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -78,7 +91,7 @@ def stream_web_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = html_to_documents(batch_df, html_col=html_col)
         extracted = extract_spans(spark, docs, media, model)
-        extracted.write.mode("append").parquet(output_path)
+        _idempotent_append(extracted, output_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
