@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import dedup as D
+from .analytics import ranking as R
 from .analytics import similarity as S
 from .analytics import textstats as T
 
@@ -400,6 +401,14 @@ def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
     return T.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_tfidf_topterms(spark, sf):  # per-doc top-3 terms by smoothed TF-IDF
+    return R.tfidf_topterms(load(spark, sf, "documents"))
+
+
+def q_bm25_search(spark, sf):  # BM25 top-20 docs for a fixed query-term set
+    return R.bm25_search(load(spark, sf, "documents"))
+
+
 def q_crossdoc_substr(spark, sf):  # ExactSubstr-style cross-doc duplicated
     # substring coverage (Lee et al. 2022) over the same deterministic
     # cross-doc quote injection decontaminate uses (the synthetic corpus has
@@ -588,6 +597,8 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "repetition_stats": q_repetition_stats,
     "source_mix": q_source_mix,
+    "tfidf_topterms": q_tfidf_topterms,
+    "bm25_search": q_bm25_search,
     "crossdoc_substr": q_crossdoc_substr,
     "crossdoc_cut": q_crossdoc_cut,
     "pii_scrub": q_pii_scrub,
@@ -659,6 +670,8 @@ ORACLES = {
     "corpus_curation": T.corpus_curation_sql(),
     "repetition_stats": T.repetition_stats_sql(),
     "source_mix": T.source_mix_sql(),
+    "tfidf_topterms": R.tfidf_topterms_sql(),
+    "bm25_search": R.bm25_search_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
     "cosine_topk": S.cosine_topk_sql(5, 5),
     # must-be-empty certifications: the SQL-checkable halves of the

@@ -184,6 +184,22 @@ CHECKS = {
         ["Join", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "tfidf_topterms": (
+        "two hash-aggregates (per-doc tf, per-term df) with map-side "
+        "partials; tf ⋈ df is an equi-join on term; the corpus count "
+        "rides a broadcast 1-row crossJoin; ONE window partitioned by "
+        "doc_id for the top-k — text never rides an exchange",
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    "bm25_search": (
+        "query-term filter lands BEFORE the per-doc aggregate (only "
+        "matching (doc_id, term) rows aggregate); df and corpus scalars "
+        "broadcast; final top-k is TakeOrdered — distributed, never a "
+        "single-partition window",
+        ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "Window"],
+    ),
     "ann_cosine_check": (
         "score certification: ANN outputs rejoin embeddings (query side "
         "broadcast) and recompute the cosine in-plan; the two method "
