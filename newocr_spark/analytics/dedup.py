@@ -629,6 +629,119 @@ def minhash_lsh_pairs(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-source near-dup flow matrix: for every unordered source pair
+    (source_a <= source_b), how many verified near-dup pairs connect them
+    and at what mean similarity. This is the table a corpus owner reads to
+    find syndication/mirroring between sources (the classic CommonCrawl
+    finding that a handful of domains republish each other's pages) and to
+    decide which source to keep a duplicate's canonical copy in.
+
+    Output: (source_a, source_b, n_pairs, avg_jaccard) — n_pairs counts
+    MEMBER pairs (the same pair multiset `minhash_lsh_pairs` emits), but
+    the member pairs are NEVER materialized: counts are derived
+    combinatorially from the exact-dup (group x source) histogram.
+
+    100 TB shape: B exact copies of a page split s/t-wise across two
+    sources contribute m_s*m_t flow with ONE arithmetic row, not m_s*m_t
+    join rows — the pair-expansion quadratic that `dup_clusters` avoids
+    via cluster membership is avoided here via weighted counting. Rep
+    pairs join a (canon, source, m) histogram whose per-group fanout is
+    the number of distinct sources holding copies (tiny); everything
+    downstream of the LSH verify is id/source-only aggregation."""
+    groups, rep_pairs, rep_shingled, _sh = _rep_pairs(
+        docs, n, threshold, max_bucket_size
+    )
+    # (canon, source, m): the histogram every pair count derives from
+    csrc = (
+        groups.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("canon", "source")
+        .agg(F.count("*").alias("m"))
+    )
+    ca = csrc.select(
+        F.col("canon").alias("doc_a"),
+        F.col("source").alias("s_a"),
+        F.col("m").alias("m_a"),
+    )
+    cb = csrc.select(
+        F.col("canon").alias("doc_b"),
+        F.col("source").alias("s_b"),
+        F.col("m").alias("m_b"),
+    )
+    # cross-group flows: every member of A x every member of B inherits
+    # the rep pair's verified jaccard (identical texts => identical
+    # shingle sets), so the (s_a, s_b) flow is m_a*m_b at that jaccard
+    cross = (
+        rep_pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+            (F.col("m_a") * F.col("m_b")).alias("w"),
+            "jaccard",
+        )
+    )
+    # within-group flows: exact copies are jaccard-1.0 pairs, provided the
+    # group's text yields >= 1 shingle (same eligibility rule as
+    # _expand_member_pairs — sub-n-token docs never pair)
+    el = csrc.join(
+        rep_shingled.withColumnRenamed("doc_id", "canon"), "canon", "left_semi"
+    )
+    wa = el.select("canon", F.col("source").alias("s_a"), F.col("m").alias("m_a"))
+    wb = el.select("canon", F.col("source").alias("s_b"), F.col("m").alias("m_b"))
+    within = (
+        wa.join(wb, "canon")
+        .filter(F.col("s_a") <= F.col("s_b"))
+        .select(
+            F.col("s_a").alias("source_a"),
+            F.col("s_b").alias("source_b"),
+            F.when(
+                F.col("s_a") == F.col("s_b"),
+                (F.col("m_a") * (F.col("m_a") - F.lit(1)) / 2).cast("long"),
+            )
+            .otherwise(F.col("m_a") * F.col("m_b"))
+            .alias("w"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    if threshold > 1.0:  # nothing passes; mirror _expand_member_pairs
+        within = within.filter(F.lit(False))
+    flows = cross.unionByName(within)
+    return flows.groupBy("source_a", "source_b").agg(
+        F.sum("w").cast("long").alias("n_pairs"),
+        F.round(F.sum(F.col("jaccard") * F.col("w")) / F.sum("w"), 6).alias(
+            "avg_jaccard"
+        ),
+    )
+
+
+def source_overlap_sql(threshold: float = 0.5) -> str:
+    """Oracle: label the exact member-pair set (minhash_lsh_sql) with each
+    side's source and aggregate — the expanded form of the combinatorial
+    counting the Spark side does."""
+    return f"""
+    WITH pairs AS ({minhash_lsh_sql(threshold)}),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM lab
+    GROUP BY source_a, source_b
+    """
+
+
 class NonConvergenceError(RuntimeError):
     """Raised when iterative min-label propagation has not reached a
     fixpoint within its round budget. Stale labels would be silently

@@ -188,6 +188,174 @@ def source_mix_sql() -> str:
     """
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score each document by the mean log-probability of its tokens under a
+    unigram LM fit on the corpus itself. Gibberish / rare-token spam gets
+    a very negative score, fluent text sits near the corpus mode — the
+    same signal CCNet's KenLM perplexity buckets ("head/middle/tail")
+    threshold on, with the unigram model standing in for the 5-gram LM.
+
+    Output: (doc_id, n_tokens, logprob) where logprob =
+    avg over token instances of ln(count(tok)/total_tokens).
+
+    100 TB shape: tokens aggregate to (doc_id, tok) counts FIRST (a
+    well-distributed shuffle key), so the skewed join key — stopwords
+    dominate any natural-language vocab — carries one row per distinct
+    (doc, token), not one per occurrence; AQE skew-join splits the
+    stopword partitions beyond that. The vocab side is (tok, count) —
+    at corpus scale, broadcast the head of the vocab (covering ~99.9% of
+    mass) and floor the tail, as CCNet does; here the full join keeps the
+    oracle exact. Bucketing into head/middle/tail at scale is
+    approxQuantile thresholds over this output, not a global sort."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c_dt"))
+    vocab = dt.groupBy("tok").agg(F.sum("c_dt").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return (
+        dt.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c_dt") * F.log(F.col("c") / F.col("t")))
+                / F.sum("c_dt"),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, sum(c_dt) AS c FROM dt GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM vocab)
+    SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+           round(sum(c_dt * ln(c * 1.0 / t)) / sum(c_dt), 6) AS logprob
+    FROM dt JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """
+
+
+def quality_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.3):
+    split the corpus into equal thirds by LM score — 'head' is the
+    best-scoring third (lowest perplexity / highest mean token
+    log-probability), the bucket CCNet trains on first. Uses
+    `unigram_logprob` as the LM score.
+
+    Output: (doc_id, n_tokens, logprob, bucket).
+
+    Bucket boundaries are defined at VALUE granularity with exact integer
+    rank logic — a doc is 'head' iff strictly fewer than n/3 docs score
+    above its (6-dp rounded) logprob — so ties share a bucket and the
+    whole rule is reproducible in pure SQL (no float threshold
+    interpolation to disagree on).
+
+    100 TB shape: docs reduce to a (logprob, count) histogram first — a
+    hash-aggregate whose key space is bounded by the 6-dp rounding (a few
+    million distinct values at most, regardless of corpus size) — so the
+    only ORDER BY window runs over that tiny value frame, never over
+    docs; the bucketed thresholds then broadcast back onto the doc-level
+    frame. No global sort of the corpus anywhere."""
+    lp = unigram_logprob(docs)
+    vals = lp.groupBy("logprob").agg(F.count("*").alias("cnt"))
+    w = W.orderBy(F.desc("logprob")).rowsBetween(W.unboundedPreceding, 0)
+    tot = vals.agg(F.sum("cnt").alias("tot"))
+    ranked = (
+        vals.select(
+            "logprob", (F.sum("cnt").over(w) - F.col("cnt")).alias("n_above")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "logprob",
+            F.when(F.col("n_above") * 3 < F.col("tot"), "head")
+            .when(F.col("n_above") * 3 < F.col("tot") * 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return lp.join(F.broadcast(ranked), "logprob").select(
+        "doc_id", "n_tokens", "logprob", "bucket"
+    )
+
+
+def quality_buckets_sql() -> str:
+    return f"""
+    WITH lp AS ({unigram_logprob_sql()}),
+    vals AS (SELECT logprob, count(*) AS cnt FROM lp GROUP BY logprob),
+    tot AS (SELECT sum(cnt) AS tot FROM vals),
+    ranked AS (
+      SELECT logprob,
+             sum(cnt) OVER (ORDER BY logprob DESC
+                            ROWS UNBOUNDED PRECEDING) - cnt AS n_above
+      FROM vals
+    )
+    SELECT lp.doc_id, lp.n_tokens, lp.logprob,
+           CASE WHEN r.n_above * 3 < t.tot THEN 'head'
+                WHEN r.n_above * 3 < t.tot * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lp JOIN ranked r USING (logprob), tot t
+    """
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """Per-source vocabulary scorecard: token count, distinct-type count,
+    hapax-legomenon fraction (types occurring exactly once in the source),
+    and type-token ratio. The lexical-diversity panel a corpus owner reads
+    next to `source_mix`: machine-generated or templated sources show
+    abnormally LOW ttr/hapax (few types repeated endlessly), OCR noise and
+    spam show abnormally HIGH hapax (each garble is a new "word") —
+    both tails are the first thing to audit before mixing.
+
+    Output: (source, n_tokens, n_types, hapax_frac, ttr).
+
+    100 TB shape: two hash-aggregates — (source, tok) counts with map-side
+    partials first (the distinct-type reduction, a well-spread key even
+    when one source dominates), then the tiny per-source rollup; the text
+    column never survives past the in-codegen tokenize+explode. Exact
+    integer arithmetic end-to-end, so the oracle certifies every column."""
+    toks = docs.select(
+        "source", F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+    )
+
+
+def vocab_stats_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_frac,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr
+    FROM st GROUP BY source
+    """
+
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
 # (the GPT-2 pre-tokenizer's shape without the byte-level merge table)
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

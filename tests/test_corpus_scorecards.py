@@ -1,0 +1,143 @@
+"""Semantics of the corpus-scorecard operators added round 5:
+
+* source_overlap — cross-source near-dup flow matrix with COMBINATORIAL
+  pair counting (member pairs never materialize; a B-copy exact-dup group
+  split across sources contributes arithmetic weights, not B^2/2 rows).
+* unigram_logprob — CCNet-style unigram LM quality proxy (Wenzek et al.
+  2020): mean ln p(token) under the corpus's own unigram distribution.
+
+Oracle equality vs DuckDB is covered by test_driver_contract; these pin
+the hand-computable semantics and the non-quadratic counting shape.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from newocr_spark.analytics.dedup import source_overlap
+from newocr_spark.analytics.textstats import unigram_logprob
+
+
+@pytest.fixture(scope="module")
+def mirrored(spark):
+    """Two sources mirroring one page (3 copies in A, 2 in B) plus one
+    near-dup variant in B and an unrelated doc in C."""
+    page = "shared boilerplate page body with many common words inside"
+    rows = [
+        (0, page, "srcA"),
+        (1, page, "srcA"),
+        (2, page, "srcA"),
+        (3, page, "srcB"),
+        (4, page, "srcB"),
+        # same page with one word changed: near-dup of the group above
+        (5, page.replace("many", "several"), "srcB"),
+        (6, "a totally different document about unrelated matters", "srcC"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_source_overlap_counts_are_combinatorial(mirrored):
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(mirrored, threshold=0.5).collect()
+    }
+    # within-group exact copies: C(3,2)=3 pairs inside A, C(2,2)=1 in B,
+    # 3*2=6 across A/B — all jaccard 1.0
+    assert out[("srcA", "srcA")].n_pairs == 3
+    assert out[("srcA", "srcA")].avg_jaccard == 1.0
+    # cross-group near-dup (doc 5) adds 2 more A<->B... no: doc5 is in B,
+    # so it adds 3 pairs to (A,B) at the verified jaccard and 2 pairs
+    # inside (B,B); the exact copies add 6 to (A,B) and 1 to (B,B)
+    ab = out[("srcA", "srcB")]
+    bb = out[("srcB", "srcB")]
+    assert ab.n_pairs == 6 + 3
+    assert bb.n_pairs == 1 + 2
+    # weighted means mix jaccard-1.0 exact pairs with the variant's j<1
+    j = (ab.avg_jaccard * 9 - 6.0) / 3  # recovered rep-pair jaccard
+    assert 0.5 <= j < 1.0
+    # avg_jaccard is round(...,6); recovery amplifies that by 3x / 1.5x
+    assert abs((bb.avg_jaccard * 3 - 1.0) / 2 - j) < 5e-6
+    # the unrelated source pairs with nothing
+    assert not any("srcC" in k for k in out)
+
+
+def test_source_overlap_member_pairs_never_materialize(spark):
+    # 400 exact copies of one page split over two sources: flow counts are
+    # C(200,2) within each and 200*200 across, but the plan's only
+    # pair-shaped frame is over CANONICAL reps (1 per distinct text), so
+    # the flows frame stays at O(sources^2) rows per group
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one boilerplate page duplicated across two mirrors").alias("text"),
+        F.when(F.col("id") % 2 == 0, "m1").otherwise("m2").alias("source"),
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in source_overlap(docs, threshold=0.5).collect()
+    }
+    half = n // 2
+    assert out[("m1", "m1")] == half * (half - 1) // 2
+    assert out[("m2", "m2")] == half * (half - 1) // 2
+    assert out[("m1", "m2")] == half * half
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: doc0 = "a a b", doc1 = "b c"; totals: a=2, b=2, c=1, T=5
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    lp = lambda c: math.log(c / 5.0)
+    exp0 = (2 * lp(2) + lp(2)) / 3
+    exp1 = (lp(2) + lp(1)) / 2
+    assert got[0].n_tokens == 3 and got[1].n_tokens == 2
+    assert abs(got[0].logprob - round(exp0, 6)) < 1e-9
+    assert abs(got[1].logprob - round(exp1, 6)) < 1e-9
+    # rarer tokens => lower logprob
+    assert got[1].logprob < got[0].logprob
+
+
+def test_unigram_logprob_flags_gibberish(spark):
+    # ten fluent docs sharing a vocabulary vs one doc of unique noise:
+    # the noise doc must rank strictly lowest — the CCNet tail
+    fluent = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    noise = [(99, "zxqv kjhw pqrs wvut mlkj")]
+    docs = spark.createDataFrame(fluent + noise, "doc_id long, text string")
+    rows = unigram_logprob(docs).collect()
+    worst = min(rows, key=lambda r: r.logprob)
+    assert worst.doc_id == 99
+
+
+def test_quality_buckets_thirds_and_ordering(spark):
+    # 9 docs with strictly distinct LM scores split 3/3/3; the bucket
+    # order must follow the score order (head = best-scoring third)
+    from newocr_spark.analytics.textstats import quality_buckets
+
+    # doc i repeats a common word i times then adds one rare word, so
+    # logprob increases monotonically with i (more mass on the common tok)
+    docs = spark.createDataFrame(
+        [(i, ("common " * (i + 1)) + f"rare{i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_buckets(docs).collect()}
+    assert len(rows) == 9
+    by_score = sorted(rows.values(), key=lambda r: -r.logprob)
+    assert [r.bucket for r in by_score] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # head really is the HIGH-logprob (low-perplexity) end
+    assert min(r.logprob for r in by_score[:3]) > max(r.logprob for r in by_score[6:])
+
+
+def test_quality_buckets_ties_share_a_bucket(spark):
+    # 6 identical docs + 3 distinct worse ones: the 6 tie on logprob and
+    # must all land in ONE bucket (value-granularity rule), even though a
+    # rank-based ntile would split them across head and middle
+    from newocr_spark.analytics.textstats import quality_buckets
+
+    same = [(i, "common common common word") for i in range(6)]
+    worse = [(10 + i, f"odd{i} strange{i} rare{i}") for i in range(3)]
+    docs = spark.createDataFrame(same + worse, "doc_id long, text string")
+    rows = {r.doc_id: r.bucket for r in quality_buckets(docs).collect()}
+    tied = {rows[i] for i in range(6)}
+    assert tied == {"head"}
