@@ -847,3 +847,146 @@ def neardup_recall(
         "method string, n_exact long, n_approx long, n_hit long, "
         "recall double, precision double, n_corpus long, sampled boolean",
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then within
+    each cluster drop every vector that is cosine-similar (>= threshold)
+    to an earlier-ordered one, keeping one representative per semantic
+    group. Keep order is ascending vec_id (the paper orders by distance
+    to centroid; the order key is pluggable machinery — id order makes
+    the decision reproducible and SQL-certifiable).
+
+    Output: (vec_id, cell, keep) for EVERY input vector.
+
+    Semantics: a vector is dropped iff some same-cell vector with a
+    smaller vec_id scores cosine >= threshold against it (the paper's
+    released implementation uses the same earlier-in-order rule rather
+    than full connected components). Exact duplicates collapse first —
+    bit-identical vectors inherit their canonical representative's cell
+    and keep decision, with only the canon itself keepable (identical
+    nonzero vectors are cosine-1.0 pairs by definition). Zero vectors
+    never produce a cosine pair (NaN cosines — `_score_block`), so they
+    are always kept, exact copies included: the certification invariant
+    "every drop is justified by an exact cosine pair" stays literal.
+
+    100 TB shape: the quadratic pair space is confined to each k-means
+    cell (choose n_cells ~ n/expected_cell_size; the paper uses sqrt(n)
+    clusters at web scale). Corpus-side work is ONE narrow Arrow map
+    (cell assignment against broadcast centroids, trained once on a
+    bounded driver-side sample) + one (cell) groupBy exchange; the
+    within-cell verify streams its pair space through row-blocked BLAS
+    (`_bucket_verify`) so per-task memory is one cell's vectors, never
+    its pair matrix. Exact-dup collapse bounds the hot-cell size the
+    same way it bounds hot LSH buckets (dedup.py finding): B copies of
+    one vector contribute ONE clustered row, not B quadratic rows.
+
+    No reference analogue (NewOCR has no embedding ops) — public-practice
+    citation only."""
+    spark = embeddings.sparkSession
+    groups = _exact_vec_groups(embeddings)
+    reps = embeddings.join(
+        groups.filter(F.col("vec_id") == F.col("canon")).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    sample_rows = (
+        reps.select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic regardless of partitioning
+        .limit(sample_size)
+        .collect()
+    )  # bounded driver pull: the k-means SAMPLE, never the corpus
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent_b = spark.sparkContext.broadcast(
+        _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
+    )
+
+    @F.pandas_udf(LongType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        cent = cent_b.value
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+
+    assigned = _spread(reps).select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("table"),
+        cell_of("embedding").alias("bucket"),
+    )
+    # within-cell exact verify: same BLAS row-dot as the exact baseline,
+    # so every emitted pair is bit-identical to embedding_neardup_pairs'
+    pairs = _bucket_verify(assigned, threshold)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    rep_out = assigned.select("vec_id", F.col("bucket").alias("cell")).join(
+        dropped.withColumn("dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        F.col("vec_id").alias("canon"),
+        "cell",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("canon_keep"),
+    )
+    zero_canons = reps.filter(_norm_expr("embedding") <= 0).select(
+        F.col("vec_id").alias("canon"), F.lit(True).alias("is_zero")
+    )
+    out = (
+        groups.join(rep_out, "canon")
+        .join(zero_canons, "canon", "left")
+        .select(
+            "vec_id",
+            "cell",
+            (
+                F.col("canon_keep")
+                & (
+                    (F.col("vec_id") == F.col("canon"))
+                    | F.coalesce(F.col("is_zero"), F.lit(False))
+                )
+            ).alias("keep"),
+        )
+    )
+    return _attach_broadcasts(out, cent_b)
+
+
+def semdedup_violations(
+    embeddings: DataFrame, threshold: float = 0.9, **kwargs
+) -> DataFrame:
+    """MUST-BE-EMPTY certification of `semdedup` — the oracle-checkable
+    half of a seed-dependent operator (same split as
+    `lsh_precision_violations`): WHICH vectors drop depends on the
+    k-means draw (not SQL-reproducible), but "every dropped vector has an
+    exact-cosine justification" is a construction invariant — a dropped
+    vec_id must appear as the LATER side (vec_b) of some exact pair with
+    cosine >= threshold, and DuckDB certifies the exact pair set. A
+    regression in the verify kernel, the cell assignment, or the
+    exact-dup expansion that drops an unjustified vector turns up as rows
+    here and flips the contract red. No boundary exemption is needed: the
+    within-cell verify and the exact baseline share `_score_block`
+    literally, so their cosines are bit-identical."""
+    sd_full = semdedup(embeddings, threshold=threshold, **kwargs)
+    exact_full = embedding_neardup_pairs(embeddings, threshold=threshold)
+    bcs = (
+        *getattr(sd_full, "_newocr_broadcasts", ()),
+        *getattr(exact_full, "_newocr_broadcasts", ()),
+    )
+    out = (
+        sd_full.filter(~F.col("keep"))
+        .select("vec_id")
+        .join(
+            exact_full.select(F.col("vec_b").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        )
+    )
+    return _attach_broadcasts(out, *bcs)
+
+
+def semdedup_check_sql() -> str:
+    """Oracle: zero rows with the violation schema."""
+    return "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings WHERE FALSE"
