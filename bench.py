@@ -36,12 +36,13 @@ BENCH_QUERIES = (
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "incremental_neardup",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
-    "repetition_stats", "source_mix", "tfidf_topterms", "bm25_search",
+    "repetition_stats", "source_mix", "source_overlap", "unigram_logprob",
+    "vocab_stats", "quality_buckets", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest", "pack_bucketed", "pack_efficiency",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
-    "neardup_recall",
+    "neardup_recall", "semdedup",
 )
 
 # Queries whose IMPLEMENTATION deliberately grew between rounds. The warm

@@ -401,6 +401,22 @@ def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
     return T.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_source_overlap(spark, sf):  # cross-source near-dup flow matrix
+    return D.source_overlap(load(spark, sf, "documents"), threshold=0.5)
+
+
+def q_unigram_logprob(spark, sf):  # CCNet-style unigram LM quality proxy
+    return T.unigram_logprob(load(spark, sf, "documents"))
+
+
+def q_vocab_stats(spark, sf):  # per-source lexical-diversity scorecard
+    return T.vocab_stats(load(spark, sf, "documents"))
+
+
+def q_quality_buckets(spark, sf):  # CCNet head/middle/tail LM-score split
+    return T.quality_buckets(load(spark, sf, "documents"))
+
+
 def q_tfidf_topterms(spark, sf):  # per-doc top-3 terms by smoothed TF-IDF
     return R.tfidf_topterms(load(spark, sf, "documents"))
 
@@ -515,6 +531,16 @@ def q_ann_cosine_check(spark, sf):  # ORACLE-GREEN half of the ANN paths:
     return S.ann_cosine_violations(load(spark, sf, "embeddings"), n_queries=5, k=5)
 
 
+def q_semdedup(spark, sf):  # rows-only: k-means cells are seed-dependent
+    # (keep decisions certified separately by semdedup_check)
+    return S.semdedup(load(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_semdedup_check(spark, sf):  # ORACLE-GREEN half of semdedup: every
+    # dropped vector must be the later side of an exact cosine pair
+    return S.semdedup_violations(load(spark, sf, "embeddings"), threshold=0.9)
+
+
 def _fixture_media(spark, sf, n=40):
     from .artifacts import get_model
     from .fixtures import corpus_fixture_tables
@@ -597,6 +623,10 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "repetition_stats": q_repetition_stats,
     "source_mix": q_source_mix,
+    "source_overlap": q_source_overlap,
+    "unigram_logprob": q_unigram_logprob,
+    "vocab_stats": q_vocab_stats,
+    "quality_buckets": q_quality_buckets,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_search": q_bm25_search,
     "crossdoc_substr": q_crossdoc_substr,
@@ -617,6 +647,8 @@ QUERIES = {
     "neardup_recall": q_neardup_recall,
     "neardup_lsh_precision": q_neardup_lsh_precision,
     "ann_cosine_check": q_ann_cosine_check,
+    "semdedup": q_semdedup,
+    "semdedup_check": q_semdedup_check,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -670,6 +702,10 @@ ORACLES = {
     "corpus_curation": T.corpus_curation_sql(),
     "repetition_stats": T.repetition_stats_sql(),
     "source_mix": T.source_mix_sql(),
+    "source_overlap": D.source_overlap_sql(0.5),
+    "unigram_logprob": T.unigram_logprob_sql(),
+    "vocab_stats": T.vocab_stats_sql(),
+    "quality_buckets": T.quality_buckets_sql(),
     "tfidf_topterms": R.tfidf_topterms_sql(),
     "bm25_search": R.bm25_search_sql(),
     "embed_neardup": S.embedding_neardup_sql(0.4),
@@ -678,6 +714,7 @@ ORACLES = {
     # seed-dependent approximate paths (precision subset / score parity)
     "neardup_lsh_precision": S.lsh_precision_sql(0.4),
     "ann_cosine_check": S.ann_cosine_check_sql(),
+    "semdedup_check": S.semdedup_check_sql(),
     # round-3 curation operators (analytics/curation.py)
     # (registered in _register_curation_oracles below)
     # "ann_lsh"/"ann_ivf"/"ann_recall": Spark-only (seeded hyperplanes /

@@ -200,6 +200,36 @@ CHECKS = {
         ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "Window"],
     ),
+    "source_overlap": (
+        "member pairs never materialize: rep pairs (LSH over canonical "
+        "docs) join the (canon, source, m) histogram by equi-keys and "
+        "flows aggregate combinatorial weights — one (source_a, source_b) "
+        "hash-aggregate at the top, no cross product anywhere",
+        ["HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "unigram_logprob": (
+        "tokens reduce to (doc_id, tok) counts BEFORE the vocab join so "
+        "the stopword-skewed key carries distinct pairs, not occurrences; "
+        "the corpus total rides a broadcast 1-row crossJoin",
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    "vocab_stats": (
+        "two hash-aggregates: (source, tok) distinct-type reduction with "
+        "map-side partials, then the tiny per-source rollup; text never "
+        "survives past the in-codegen tokenize+explode",
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "Window"],
+    ),
+    "quality_buckets": (
+        "docs reduce to a (logprob, count) histogram before the only "
+        "ORDER BY window, which runs over distinct 6-dp values, never "
+        "docs; bucketed thresholds broadcast back onto the doc frame — "
+        "no global sort of the corpus",
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "ann_cosine_check": (
         "score certification: ANN outputs rejoin embeddings (query side "
         "broadcast) and recompute the cosine in-plan; the two method "
