@@ -176,6 +176,16 @@ _texts = (
     .filter(lambda t: not any(
         p in t.replace(" ", "") for p in ("''", "'\"", "\"'")
     ))
+    # a line whose ONLY tall glyphs are two-plus vertical lines (l, |) is
+    # indistinguishable from a quote to the reference: ApostropheMergeRule
+    # includes l/i/| in its vertical-line set and its comparator veto scans
+    # the line for any non-excluded letter within 50% height — with no such
+    # comparator, adjacent l's fuse into '"' (avgLength = height *
+    # apostropheRatio ~ 2.5 spans any letter gap). Faithful, pinned in
+    # test_lonely_vertical_pair_reference_quirk
+    .filter(lambda t: sum(c in "l|" for c in t) < 2 or any(
+        (c.isalnum() and c not in "l|") or c in "#$&@(){}[]/\\<>?" for c in t
+    ))
 )
 
 
@@ -233,6 +243,32 @@ def test_apostrophe_adjacency_reference_quirk():
     ):
         got = scan_image_bytes(render_text_png([text], 2), m)
         assert got == expected, f"{text!r} -> {got!r} (want {expected!r})"
+
+
+def test_lonely_vertical_pair_reference_quirk():
+    """Two-plus vertical-line glyphs (l, |) ALONE on a line fuse into '"':
+    the vertical-line similarity set includes full-height l/i/PIPE
+    (VerticalLineSimilarityRule.java:16), the comparator veto only fires
+    when some OTHER non-excluded letter sits within 50% height
+    (ApostropheMergeRule.java:70-85 — an isolated pair has no such
+    letter), and the trained apostropheRatio (quoteHeight/gap ~ 2.5,
+    OCRTrain.java:163-165) makes avgLength span any letter gap. Any
+    alphanumeric or tall-symbol comparator on the line suppresses the
+    merge; the excluded small marks (period, comma, caret, tilde, ...)
+    do not. Pinned faithful behavior (fuzz strategy excludes the class)."""
+    from newocr_spark.artifacts import get_model
+    from newocr_spark.font.render import render_text_png
+    from newocr_spark.kernel.scan import scan_image_bytes
+
+    m = get_model()
+    for scale in (1, 2):
+        for text, expected in (
+            ("ll", '"'), ("l l", '"'), ("l|", '"'),
+            ("ll a", "ll a"), ("llx", "llx"), ("ll 0", "ll 0"),
+            ("ll .", '" .'), ("ll ~", '" ~'),
+        ):
+            got = scan_image_bytes(render_text_png([text], scale), m)
+            assert got == expected, f"{text!r} @x{scale} -> {got!r} (want {expected!r})"
 
 
 def test_short_glyph_line_leading_space_reference_quirk():
