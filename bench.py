@@ -40,7 +40,7 @@ BENCH_QUERIES = (
     "vocab_stats", "quality_buckets", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
-    "pack_manifest", "pack_bucketed", "pack_efficiency",
+    "pack_manifest", "pack_bucketed", "pack_efficiency", "dsir_weights",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
     "neardup_recall", "semdedup",
 )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .dedup import H60_SQL, TOKENS_SQL, _h60, _shingles, _tokens, shingles_sql
 from .textstats import BPE_ISH
@@ -534,3 +535,171 @@ def pack_efficiency_sql(budget: int = 512, n_shards: int = 8) -> str:
         + " UNION ALL "
         + mode_sql("bucketed", pack_bucketed_sql(budget, n_shards))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    k_buckets: int = 1024,
+    select_num: int = 1,
+    select_den: int = 4,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much more likely its hashed n-gram
+    features are under a TARGET distribution than under the raw-corpus
+    distribution, then keep the top select_num/select_den fraction by
+    log-importance weight. The target model here is fit on the corpus's
+    own `lang == target_lang` slice (at production scale it would be fit
+    on a separate high-quality corpus — the predicate is the only coupling
+    and the two model frames are plain bucket histograms either way).
+
+    Features are the paper's hashed n-grams: unigrams + bigrams of
+    lowercased whitespace tokens, bucketed by md5-derived h60 % k_buckets.
+    Both bag-of-buckets models use add-1 smoothing over the k buckets, so
+
+        logweight(d) = sum_b c_d[b] * (ln p_t[b] - ln p_r[b])
+                     = sum_b c_d[b] * (ln(c_t[b]+1) - ln(c_r[b]+1))
+                       + n_grams(d) * (ln(R+k) - ln(T+k)).
+
+    Selection replaces the paper's Gumbel-noise sampling with the exact
+    deterministic rank rule this repo's quality_buckets uses: a doc is
+    selected iff strictly fewer than num/den of all docs score ABOVE its
+    (6-dp rounded) logweight — ties share fate, no RNG state, and the
+    whole decision is reproducible in pure SQL.
+
+    Output: (doc_id, n_grams, logweight, selected).
+
+    100 TB shape: grams never travel un-reduced — they hash-aggregate to
+    (doc_id, bucket) counts immediately (per-doc key space is bounded by
+    k_buckets, and md5 bucketing spreads the shuffle evenly no matter how
+    skewed the vocabulary is); both model frames are <= k_buckets rows and
+    broadcast; the corpus totals ride a single-row broadcast crossJoin;
+    and the selection threshold comes from a (logweight, count) value
+    histogram whose key space the 6-dp rounding bounds — the only ORDER BY
+    window runs over distinct values, never over docs. No global sort, no
+    quadratic anything. No reference analogue (NewOCR has no curation
+    ops) — public-practice citation only."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(F.concat(toks, bi)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.pmod(_h60(F.col("gram")), F.lit(k_buckets)).alias("bucket"),
+    )
+    db = grams.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    raw = db.groupBy("bucket").agg(F.sum("c").alias("c_r"))
+    tgt = grams.filter("is_t").groupBy("bucket").agg(F.count("*").alias("c_t"))
+    tots = grams.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_tot"),
+    )
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("c_r") + F.lit(1))
+        ).alias("llr"),
+    )
+    lwf = (
+        db.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("llr")).alias("s"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.col("s")
+                + F.col("n_grams")
+                * (
+                    F.log(F.col("r_tot") + F.lit(k_buckets))
+                    - F.log(F.col("t_tot") + F.lit(k_buckets))
+                ),
+                6,
+            ).alias("logweight"),
+        )
+    )
+    vals = lwf.groupBy("logweight").agg(F.count("*").alias("cnt"))
+    w = W.orderBy(F.desc("logweight")).rowsBetween(W.unboundedPreceding, 0)
+    tot = vals.agg(F.sum("cnt").alias("tot"))
+    ranked = vals.select(
+        "logweight", (F.sum("cnt").over(w) - F.col("cnt")).alias("n_above")
+    ).crossJoin(F.broadcast(tot))
+    return lwf.join(F.broadcast(ranked), "logweight").select(
+        "doc_id",
+        "n_grams",
+        "logweight",
+        (F.col("n_above") * F.lit(select_den) < F.col("tot") * F.lit(select_num)).alias(
+            "selected"
+        ),
+    )
+
+
+def dsir_weights_sql(
+    target_lang: str = "en",
+    k_buckets: int = 1024,
+    select_num: int = 1,
+    select_den: int = 4,
+) -> str:
+    """Oracle: the identical hashed-bucket models and rank rule in DuckDB
+    (same md5 h60, same add-1 smoothing, same 6-dp rounded value ranks)."""
+    h = H60_SQL.format(x="gram")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang = '{target_lang}' AS is_t,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_t,
+             unnest(list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             )) AS gram
+      FROM t
+    ),
+    b AS (SELECT doc_id, is_t, ({h}) % {k_buckets} AS bucket FROM g),
+    db AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    raw AS (SELECT bucket, sum(c) AS c_r FROM db GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_t FROM b WHERE is_t GROUP BY bucket),
+    tots AS (SELECT count(*) AS r_tot,
+                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_tot FROM b),
+    model AS (
+      SELECT r.bucket, ln(coalesce(tg.c_t, 0) + 1) - ln(r.c_r + 1) AS llr
+      FROM raw r LEFT JOIN tgt tg USING (bucket)
+    ),
+    lwf AS (
+      SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_grams,
+             round(sum(db.c * m.llr)
+                   + sum(db.c) * (ln(tots.r_tot + {k_buckets})
+                                  - ln(tots.t_tot + {k_buckets})), 6)
+               AS logweight
+      FROM db JOIN model m USING (bucket), tots
+      GROUP BY db.doc_id, tots.r_tot, tots.t_tot
+    ),
+    vals AS (SELECT logweight, count(*) AS cnt FROM lwf GROUP BY logweight),
+    ranked AS (
+      SELECT logweight,
+             sum(cnt) OVER (ORDER BY logweight DESC
+                            ROWS UNBOUNDED PRECEDING) - cnt AS n_above
+      FROM vals
+    ),
+    tot AS (SELECT sum(cnt) AS tot FROM vals)
+    SELECT lwf.doc_id, lwf.n_grams, lwf.logweight,
+           r.n_above * {select_den} < t.tot * {select_num} AS selected
+    FROM lwf JOIN ranked r USING (logweight), tot t
+    """

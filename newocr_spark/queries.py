@@ -487,6 +487,12 @@ def q_pack_efficiency(spark, sf):  # per-mode utilization/split scorecard
     return C.pack_efficiency(load(spark, sf, "documents"))
 
 
+def q_dsir_weights(spark, sf):  # DSIR importance-resampling data selection
+    from .analytics import curation as C
+
+    return C.dsir_weights(load(spark, sf, "documents"))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -638,6 +644,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "pack_bucketed": q_pack_bucketed,
     "pack_efficiency": q_pack_efficiency,
+    "dsir_weights": q_dsir_weights,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -751,6 +758,7 @@ def _register_curation_oracles() -> None:
     ORACLES["pack_manifest"] = C.pack_manifest_sql()
     ORACLES["pack_bucketed"] = C.pack_bucketed_sql()
     ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
+    ORACLES["dsir_weights"] = C.dsir_weights_sql()
 
 
 _register_media_oracles()

@@ -230,6 +230,16 @@ CHECKS = {
         ["HashAggregate", "Window", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "dsir_weights": (
+        "grams hash-aggregate to (doc_id, bucket) counts before anything "
+        "joins; both bucket models (<= k rows) and the single-row totals "
+        "ride broadcasts; the selection threshold comes from a "
+        "(logweight, count) value histogram so the only ORDER BY window "
+        "runs over distinct values, never docs — no global sort, no "
+        "shuffle join anywhere",
+        ["HashAggregate", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "ann_cosine_check": (
         "score certification: ANN outputs rejoin embeddings (query side "
         "broadcast) and recompute the cosine in-plan; the two method "
