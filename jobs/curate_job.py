@@ -39,6 +39,11 @@ documented in analytics/curation.py / analytics/dedup.py):
       document-level dedup above and the within-doc gate); or, with
       --crossdoc-mode cut, remove the duplicated spans themselves and
       keep one canonical copy corpus-wide (the paper's actual treatment)
+    → [--dsir-target-lang] DSIR importance selection (Xie et al. 2023):
+      keep the top --dsir-keep fraction of surviving docs by hashed
+      n-gram importance weight against the target-language slice —
+      distribution-matching selection, run on the cleaned survivors'
+      text before any rewriting stage touches it
     → PII scrub (narrow JVM regexp map)
     → per-language stratified sample (hash-bucket filter, no RNG state)
     → pack into fixed-budget training sequences (one shuffle by shard,
@@ -84,6 +89,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "Note: docs the cut touches are whitespace-normalized by the "
         "token-boundary rebuild; untouched docs pass through verbatim",
     )
+    p.add_argument(
+        "--dsir-target-lang", default=None,
+        help="enable DSIR importance selection (curation.dsir_weights) "
+        "with this language's slice as the target distribution",
+    )
+    p.add_argument(
+        "--dsir-keep", default="1/4",
+        help="fraction of docs DSIR keeps, as NUM/DEN integers (rank rule "
+        "is exact integer arithmetic; ties share fate)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
@@ -94,6 +109,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--crossdoc-mode cut removes spans unconditionally "
             "(pass one or the other)"
         )
+    try:
+        dsir_num, dsir_den = (int(x) for x in args.dsir_keep.split("/"))
+        if dsir_num <= 0 or dsir_den <= 0:
+            raise ValueError
+    except ValueError:
+        raise SystemExit("--dsir-keep must be NUM/DEN positive integers")
     if args.write_band_index and args.write_band_index == args.band_index:
         raise SystemExit(
             "--write-band-index must differ from --band-index (parquet "
@@ -105,7 +126,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from newocr_spark.analytics import curation as C
     from newocr_spark.analytics.dedup import (
-        band_index, dup_clusters, incremental_neardup,
+        band_index, dup_clusters, incremental_neardup, stage_checkpoint,
     )
 
     owns_session = spark is None
@@ -207,6 +228,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             kept = kept.join(xd, "doc_id", "left_anti")
 
+    # Stage boundary: every gate above rebuilt `kept` by joining a frame
+    # derived FROM `kept` back onto it, so the logical plan references the
+    # prior stage's tree twice per gate — exponential plan growth the
+    # driver pays at compile time (a 1 GiB driver heap dies here once the
+    # selection stages below stack on top). Cut the lineage once so the
+    # index write, DSIR, scrub, sample, and pack all plan against a flat
+    # materialized scan; reliable checkpoint under --checkpoint-dir.
+    kept = stage_checkpoint(kept)
+
     # 2d. the index covers the docs admitted PAST every quality gate:
     # future increments near-duplicating anything admitted here are
     # suppressed at stage 0, while quality-gated docs are genuinely left
@@ -224,6 +254,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 new_bands
             )
         new_bands.write.mode("overwrite").parquet(args.write_band_index)
+
+    # 2e. DSIR importance selection: keep the docs that look most like the
+    # target distribution. Runs on the cleaned survivors — after dedup and
+    # the quality gates (selection should not waste budget re-admitting
+    # what those stages reject) and before the scrub/pack rewrites (the
+    # weight model must see the text future raw crawls will look like).
+    if args.dsir_target_lang:
+        selected = (
+            C.dsir_weights(
+                kept,
+                target_lang=args.dsir_target_lang,
+                select_num=dsir_num,
+                select_den=dsir_den,
+            )
+            .filter(F.col("selected"))
+            .select("doc_id")
+        )
+        kept = kept.join(selected, "doc_id", "left_semi")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

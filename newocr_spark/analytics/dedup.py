@@ -769,6 +769,18 @@ def _reliable_default(df: DataFrame) -> bool:
     return sc.getCheckpointDir() is not None
 
 
+def stage_checkpoint(df: DataFrame) -> DataFrame:
+    """Stage-boundary lineage cut for multi-stage pipelines that rebuild
+    one frame by repeatedly self-joining derived frames back onto it
+    (each such stage references the prior plan twice, so the logical plan
+    doubles per stage — the driver pays that compounding cost at plan
+    compile time even though the data never recomputes under AQE reuse).
+    Reliable `checkpoint()` when the context has a checkpoint dir (the
+    cluster deployment case — survives executor loss); `localCheckpoint()`
+    otherwise (local/test sessions)."""
+    return _iter_checkpoint(df, _reliable_default(df))
+
+
 def _cc_labels(
     pairs: DataFrame, max_rounds: int = 25, reliable: bool | None = None
 ) -> DataFrame:

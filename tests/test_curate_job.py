@@ -208,3 +208,35 @@ def test_curate_job_crossdoc_cut_mode_keeps_one_copy(spark, tmp_path):
     for i, txt in survivors.items():
         if i not in (0,):
             assert "boiler0" not in txt
+
+
+def test_curate_job_dsir_selection_shrinks_and_prefers_target(spark, tmp_path):
+    n_base, _ = _run(spark, tmp_path, "no_dsir")
+    n_dsir, out = _run(
+        spark, tmp_path, "dsir", "--dsir-target-lang", "en",
+        "--dsir-keep", "1/3",
+    )
+    # selection keeps roughly the top third of the gated survivors (value
+    # ties may admit a few extra) and never grows the corpus
+    assert 0 < n_dsir < n_base
+    df = spark.read.parquet(out)
+    base_mix = (
+        spark.read.parquet(SF_DOCS)
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    sel_mix = df.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    # the target language's share must rise vs the raw corpus
+    assert (sel_mix.get("en", 0) / sel_mix.sum()) > (
+        base_mix.get("en", 0) / base_mix.sum()
+    )
+
+
+def test_curate_job_rejects_malformed_dsir_keep(spark, tmp_path):
+    import curate_job
+
+    with pytest.raises(SystemExit):
+        curate_job.main(
+            ["--documents", SF_DOCS, "--output", str(tmp_path / "x"),
+             "--dsir-keep", "0.25"],
+            spark=spark,
+        )
