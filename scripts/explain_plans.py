@@ -240,6 +240,16 @@ CHECKS = {
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "semdedup": (
+        "cell assignment is one narrow Arrow map against broadcast "
+        "k-means centroids (trained on a bounded driver-side sample); "
+        "the within-cell verify is one applyInPandas group per cell "
+        "streaming row-blocked BLAS — pair rows never exist in the plan; "
+        "exact-dup collapse (hash-agg on the vector bytes) bounds hot "
+        "cells before any quadratic work",
+        ["ArrowEvalPython", "FlatMapGroupsInPandas", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
     "ann_cosine_check": (
         "score certification: ANN outputs rejoin embeddings (query side "
         "broadcast) and recompute the cosine in-plan; the two method "
