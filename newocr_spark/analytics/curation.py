@@ -648,6 +648,169 @@ def dsir_weights(
     )
 
 
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_BADWORDS = ("unsafeword",)  # stand-in blocklist; production swaps the list
+
+
+def _with_page(docs: DataFrame) -> DataFrame:
+    """Deterministically synthesize a multi-line web page from each doc
+    (the synthetic corpus is single-line word soup with no punctuation, so
+    the C4 line rules would be vacuous on it). Every line is a pure
+    function of (doc_id, text), so the oracle reconstructs the identical
+    page in SQL:
+
+      l1  8 words + '.'            -> kept
+      l2  3 words + '.'            -> dropped (< C4_MIN_WORDS)
+      l3  8 words, '?' only when doc_id % 3 != 0 -> dropped for % 3 == 0
+      l4  a 'please enable javascript' banner    -> dropped (blocklist)
+      l5  8 words + '!'            -> kept
+      l6  8 words + '.'            -> omitted when doc_id % 17 == 2, so
+          those pages fail the 3-sentence page rule
+      poison lines (page-level drops, raw-text checks):
+          % 11 == 5 a '{'-brace css fragment, % 13 == 7 'Lorem ipsum ...',
+          % 19 == 4 a C4_BADWORDS term."""
+    toks = F.split(F.col("text"), " ")
+    seg = lambda start, n: F.array_join(F.slice(toks, start, n), " ")
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(seg(1, 8), F.lit(".")),
+            F.concat(seg(9, 3), F.lit(".")),
+            F.concat(
+                seg(12, 8),
+                F.when(did % 3 == 0, F.lit("")).otherwise(F.lit("?")),
+            ),
+            F.lit("Please enable javascript to continue reading this page."),
+            F.concat(seg(20, 8), F.lit("!")),
+            F.when(did % 17 == 2, F.lit(None)).otherwise(
+                F.concat(seg(28, 8), F.lit("."))
+            ),
+            F.when(did % 11 == 5, F.lit("css template { margin: 0 }")),
+            F.when(
+                did % 13 == 7,
+                F.lit("Lorem ipsum dolor sit amet consectetur adipiscing."),
+            ),
+            F.when(
+                did % 19 == 4,
+                F.lit(f"this page mentions {C4_BADWORDS[0]} explicitly."),
+            ),
+        ).alias("text"),
+    )
+
+
+def c4_clean(docs: DataFrame) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning...", §2.2 — the public rule set behind the C4
+    corpus): keep only lines that end in a terminal punctuation mark, have
+    at least C4_MIN_WORDS words, and do not mention 'javascript'; drop the
+    whole page when the CLEANED text has fewer than C4_MIN_SENTENCES
+    sentences, or the RAW text contains a curly brace (code), the phrase
+    'lorem ipsum' (placeholder boilerplate), or a blocklist term.
+
+    Output: (doc_id, clean_text, n_lines, n_kept, n_sentences, keep).
+
+    100 TB shape: one narrow in-codegen projection per doc — split /
+    higher-order filter / array_join / regexp_count are all JVM
+    expressions, so there is no shuffle, no Python, and nothing but the
+    two needed columns in the scan. Filter composes BEFORE the dedup
+    stages in a real pipeline (cheapest gate first). No reference analogue
+    (NewOCR has no curation ops) — public-practice citation only."""
+
+    def line_ok(l):
+        t = F.trim(l)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= C4_MIN_WORDS)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    low = F.lower(F.col("text"))
+    bad = F.lit(False)
+    for w in C4_BADWORDS:
+        bad = bad | low.contains(w)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.regexp_count(clean, F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+        (
+            (F.regexp_count(clean, F.lit(r"[.!?]")) >= C4_MIN_SENTENCES)
+            & ~F.col("text").contains("{")
+            & ~low.contains("lorem ipsum")
+            & ~bad
+        ).alias("keep"),
+    )
+
+
+def c4_clean_sql() -> str:
+    """Oracle: the identical page synthesis, line filter, and page rules
+    in DuckDB (list_filter lambda mirrors the Spark higher-order filter;
+    both engines run the LITERAL same RE2∩Java regexes)."""
+    # coalesce: list_slice past the end of a short doc is NULL in DuckDB
+    # but an empty array in Spark's F.slice — both must render ''
+    seg = lambda start, last: (
+        f"coalesce(array_to_string(list_slice(toks, {start}, {last}), ' '), '')"
+    )
+    badword = C4_BADWORDS[0]
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    page AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               {seg(1, 8)} || '.',
+               {seg(9, 11)} || '.',
+               {seg(12, 19)} ||
+                 CASE WHEN doc_id % 3 = 0 THEN '' ELSE '?' END,
+               'Please enable javascript to continue reading this page.',
+               {seg(20, 27)} || '!',
+               CASE WHEN doc_id % 17 = 2 THEN NULL
+                    ELSE {seg(28, 35)} || '.' END,
+               CASE WHEN doc_id % 11 = 5
+                    THEN 'css template {{ margin: 0 }}' END,
+               CASE WHEN doc_id % 13 = 7
+                    THEN 'Lorem ipsum dolor sit amet consectetur adipiscing.'
+                    END,
+               CASE WHEN doc_id % 19 = 4
+                    THEN 'this page mentions {badword} explicitly.' END
+             ) AS text
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(
+               string_split(text, chr(10)),
+               l -> regexp_matches(trim(l), '[.!?"]$')
+                    AND len(string_split_regex(trim(l), '\\s+'))
+                        >= {C4_MIN_WORDS}
+                    AND NOT contains(lower(l), 'javascript')
+             ) AS kept
+      FROM page
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                       '[.!?]')) AS BIGINT) AS n_sentences,
+           len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+               >= {C4_MIN_SENTENCES}
+           AND NOT contains(text, '{{')
+           AND NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(lower(text), '{badword}') AS keep
+    FROM f
+    """
+
+
 def dsir_weights_sql(
     target_lang: str = "en",
     k_buckets: int = 1024,

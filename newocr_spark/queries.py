@@ -493,6 +493,12 @@ def q_dsir_weights(spark, sf):  # DSIR importance-resampling data selection
     return C.dsir_weights(load(spark, sf, "documents"))
 
 
+def q_c4_clean(spark, sf):  # C4-style line filter + page rules
+    from .analytics import curation as C
+
+    return C.c4_clean(C._with_page(load(spark, sf, "documents")))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -645,6 +651,7 @@ QUERIES = {
     "pack_bucketed": q_pack_bucketed,
     "pack_efficiency": q_pack_efficiency,
     "dsir_weights": q_dsir_weights,
+    "c4_clean": q_c4_clean,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -759,6 +766,7 @@ def _register_curation_oracles() -> None:
     ORACLES["pack_bucketed"] = C.pack_bucketed_sql()
     ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
     ORACLES["dsir_weights"] = C.dsir_weights_sql()
+    ORACLES["c4_clean"] = C.c4_clean_sql()
 
 
 _register_media_oracles()

@@ -240,6 +240,13 @@ CHECKS = {
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "c4_clean": (
+        "one narrow in-codegen projection per doc — split / higher-order "
+        "line filter / array_join / regexp_count are all JVM expressions; "
+        "no shuffle, no Python, only (doc_id, text) in ReadSchema",
+        ["Project"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "semdedup": (
         "cell assignment is one narrow Arrow map against broadcast "
         "k-means centroids (trained on a bounded driver-side sample); "

@@ -367,3 +367,68 @@ def test_crossdoc_cut_passes_untouched_docs_verbatim(spark):
     assert out[1].n_cut == 0 and out[1].kept_copy      # owner keeps verbatim
     assert out[1].clean_text == f"{boiler} one"
     assert out[2].n_cut == 10 and out[2].clean_text == "two"
+
+
+def test_c4_clean_line_rules(spark):
+    """Each C4 line rule in isolation: terminal punctuation, minimum word
+    count, and the javascript blocklist (Raffel et al. 2020 §2.2)."""
+    from newocr_spark.analytics.curation import c4_clean
+
+    good = "alpha beta gamma delta epsilon zeta."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{good}\nno terminal punctuation here at all\n"
+                f"short line.\nenable JavaScript to proceed now please.\n"
+                f"second good sentence stays right here!\n"
+                f"third good sentence stays right here?"),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = c4_clean(docs).collect()[0]
+    assert r.n_lines == 6 and r.n_kept == 3
+    assert r.clean_text.splitlines() == [
+        good,
+        "second good sentence stays right here!",
+        "third good sentence stays right here?",
+    ]
+    assert r.n_sentences == 3 and r.keep
+
+
+def test_c4_clean_page_rules(spark):
+    """Page-level drops: < 3 sentences, curly brace, lorem ipsum, and the
+    blocklist term — each checked on the raw text, not the cleaned text."""
+    from newocr_spark.analytics.curation import c4_clean
+
+    s = "a perfectly fine kept sentence here"
+    three = f"{s} one.\n{s} two.\n{s} three."
+    docs = spark.createDataFrame(
+        [
+            (1, three),
+            (2, f"{s} one.\n{s} two."),                  # only 2 sentences
+            (3, f"{three}\nfunction f() {{ return 1 }}"),  # code brace
+            (4, f"{three}\nLOREM IPSUM dolor sit amet now."),
+            (5, f"{three}\nthis mentions unsafeword in passing."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_sentences == 2
+    assert not out[3].keep          # brace is a raw-text check
+    assert not out[4].keep          # case-insensitive lorem ipsum
+    assert not out[5].keep          # blocklist term
+    # the poison lines themselves never reach clean_text unless they pass
+    # the line rules — doc 3's brace line lacks terminal punctuation
+    assert "{" not in out[3].clean_text
+
+
+def test_c4_clean_empty_and_short_docs(spark):
+    from newocr_spark.analytics.curation import c4_clean
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one two."), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(docs).collect()}
+    for r in out.values():
+        assert r.n_kept == 0 and not r.keep and r.clean_text == ""
