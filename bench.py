@@ -36,7 +36,8 @@ BENCH_QUERIES = (
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "incremental_neardup",
     "lang_id", "doc_quality", "fingerprints", "token_counts",
-    "repetition_stats", "source_mix", "source_overlap", "unigram_logprob",
+    "repetition_stats", "source_mix", "mixture_weights", "source_overlap",
+    "unigram_logprob",
     "vocab_stats", "quality_buckets", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",

@@ -188,6 +188,75 @@ def source_mix_sql() -> str:
     """
 
 
+def mixture_weights(docs: DataFrame, token_budget: int = 1_000_000) -> DataFrame:
+    """Square-root temperature sampling weights per source — the data-
+    mixing knob every multi-source pretraining run sets (Arivazhagan et
+    al. 2019 sample with p_s^α; The Pile, Gao et al. 2020, publishes the
+    resulting per-source epoch table). weight_s ∝ sqrt(token_share_s),
+    normalized: large sources are downsampled, small ones upsampled,
+    relative to proportional mixing. `epochs` = how many passes over
+    source s a `token_budget`-token training run at these weights implies
+    (> 1 means the source repeats — the Pile's own framing).
+
+    α is fixed at 1/2 and computed with `sqrt` rather than `pow` because
+    IEEE 754 REQUIRES sqrt to be correctly rounded — the Spark (JVM) and
+    DuckDB (libm) values are bit-identical, which a fractional `pow`
+    does not guarantee. Generalizing α means accepting pow's ulp slack.
+
+    Output: (source, n_docs, n_tok, token_share, weight, epochs).
+
+    100 TB shape: one (source) hash-aggregate with map-side partials over
+    a narrow tokenize-and-count projection (source cardinality is tiny);
+    the two normalization totals ride broadcast single-row crossJoins —
+    no second corpus scan, no window over docs."""
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_tok"),
+    )
+    tots = per_source.agg(F.sum("n_tok").alias("tot_tok"))
+    w = per_source.crossJoin(F.broadcast(tots)).select(
+        "source", "n_docs", "n_tok",
+        (F.col("n_tok") / F.col("tot_tok")).alias("share"),
+        F.sqrt(F.col("n_tok") / F.col("tot_tok")).alias("w_raw"),
+    )
+    z = w.agg(F.sum("w_raw").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "n_tok",
+        F.round("share", 6).alias("token_share"),
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        F.round(
+            F.lit(token_budget) * (F.col("w_raw") / F.col("z")) / F.col("n_tok"), 6
+        ).alias("epochs"),
+    )
+
+
+def mixture_weights_sql(token_budget: int = 1_000_000) -> str:
+    """Oracle: identical sqrt-temperature arithmetic in DuckDB (sqrt is
+    correctly rounded in both engines; window totals replace the
+    broadcast crossJoins)."""
+    from .dedup import TOKENS_SQL
+
+    return f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tok,
+             n_tok * 1.0 / sum(n_tok) OVER () AS share,
+             sqrt(n_tok * 1.0 / sum(n_tok) OVER ()) AS w_raw
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tok,
+           round(share, 6) AS token_share,
+           round(w_raw / sum(w_raw) OVER (), 6) AS weight,
+           round({token_budget} * (w_raw / sum(w_raw) OVER ()) / n_tok, 6)
+             AS epochs
+    FROM w
+    """
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """CCNet-style LM quality proxy (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):

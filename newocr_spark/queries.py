@@ -397,6 +397,10 @@ def q_source_mix(spark, sf):  # per-source corpus-mix scorecard
     return T.source_mix(load(spark, sf, "documents"))
 
 
+def q_mixture_weights(spark, sf):  # sqrt-temperature source sampling weights
+    return T.mixture_weights(load(spark, sf, "documents"))
+
+
 def q_repetition_stats(spark, sf):  # Gopher-style within-doc repetition gate
     return T.repetition_stats(load(spark, sf, "documents"))
 
@@ -635,6 +639,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "repetition_stats": q_repetition_stats,
     "source_mix": q_source_mix,
+    "mixture_weights": q_mixture_weights,
     "source_overlap": q_source_overlap,
     "unigram_logprob": q_unigram_logprob,
     "vocab_stats": q_vocab_stats,
@@ -716,6 +721,7 @@ ORACLES = {
     "corpus_curation": T.corpus_curation_sql(),
     "repetition_stats": T.repetition_stats_sql(),
     "source_mix": T.source_mix_sql(),
+    "mixture_weights": T.mixture_weights_sql(),
     "source_overlap": D.source_overlap_sql(0.5),
     "unigram_logprob": T.unigram_logprob_sql(),
     "vocab_stats": T.vocab_stats_sql(),

@@ -240,6 +240,14 @@ CHECKS = {
         ["HashAggregate", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "mixture_weights": (
+        "one (source) hash-aggregate with map-side partials over a narrow "
+        "tokenize-and-count projection; both normalization totals ride "
+        "broadcast single-row joins — no second corpus scan, no window "
+        "over docs",
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["Window", "SortMergeJoin"],
+    ),
     "c4_clean": (
         "one narrow in-codegen projection per doc — split / higher-order "
         "line filter / array_join / regexp_count are all JVM expressions; "

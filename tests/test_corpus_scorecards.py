@@ -141,3 +141,25 @@ def test_quality_buckets_ties_share_a_bucket(spark):
     rows = {r.doc_id: r.bucket for r in quality_buckets(docs).collect()}
     tied = {rows[i] for i in range(6)}
     assert tied == {"head"}
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    """sqrt-temperature mixing: small sources get MORE than proportional
+    weight, large sources less; weights sum to 1; epochs = budget*weight/
+    n_tok so the upsampled small source repeats more often."""
+    from newocr_spark.analytics.textstats import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 100, "big") for i in range(16)]
+        + [(100 + i, "tok " * 100, "small") for i in range(1)],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.source: r for r in mixture_weights(docs, token_budget=1700).collect()}
+    assert out["big"].n_tok == 1600 and out["small"].n_tok == 100
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+    # proportional shares are 16/17 and 1/17; sqrt flattens to 4/5 and 1/5
+    assert abs(out["big"].weight - 0.8) < 1e-6
+    assert abs(out["small"].weight - 0.2) < 1e-6
+    # the small source is upsampled past one epoch at this budget
+    assert out["small"].epochs > 1.0 > out["big"].epochs
+    assert abs(out["small"].epochs - 1700 * 0.2 / 100) < 1e-5
