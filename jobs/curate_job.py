@@ -11,6 +11,13 @@ Pipeline (each stage is the registered contract operator, so the whole
 job is declarative where the operator is, and shapes are the 100 TB ones
 documented in analytics/curation.py / analytics/dedup.py):
 
+  [--c4-gate] C4 heuristic cleaning FIRST (Raffel et al. 2020): line
+      filter + page rules rewrite each doc's text and drop junk pages
+      before anything else runs — the cheapest gate, and running it at
+      ingest keeps every downstream signature (band index, shingles,
+      fingerprints) consistent between history and future increments,
+      which all pass the same deterministic cleaner. Opt-in: the rules
+      assume web-page text with punctuation.
   [incremental mode] gate the input against a persisted band-signature
       index (--band-index; dedup.incremental_neardup) — a daily crawl
       increment never re-LSHes history; docs colliding with any indexed
@@ -99,6 +106,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="fraction of docs DSIR keeps, as NUM/DEN integers (rank rule "
         "is exact integer arithmetic; ties share fate)",
     )
+    p.add_argument(
+        "--c4-gate", action="store_true",
+        help="run C4 heuristic cleaning (curation.c4_clean) before every "
+        "other stage: junk pages drop, surviving pages keep only their "
+        "clean lines (assumes web-page text with punctuation)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
@@ -136,6 +149,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     docs = spark.read.parquet(args.documents)
+
+    # -1. C4 cleaning first (opt-in): one in-codegen projection, so it is
+    # the cheapest stage and everything downstream — including the band
+    # index and future increments, which pass the same deterministic
+    # cleaner — operates on consistently cleaned text.
+    if args.c4_gate:
+        c4 = C.c4_clean(docs).filter(F.col("keep")).select(
+            "doc_id", F.col("clean_text").alias("_c4_text")
+        )
+        docs = (
+            docs.join(c4, "doc_id")
+            .drop("text")
+            .withColumnRenamed("_c4_text", "text")
+        )
 
     # 0. incremental mode: gate against the persisted band index — docs
     # near-duplicating PRIOR ingests drop before any heavy stage runs

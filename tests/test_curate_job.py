@@ -240,3 +240,36 @@ def test_curate_job_rejects_malformed_dsir_keep(spark, tmp_path):
              "--dsir-keep", "0.25"],
             spark=spark,
         )
+
+
+def test_curate_job_c4_gate_cleans_before_everything(spark, tmp_path):
+    """--c4-gate: pages are cleaned/dropped at ingest, so the sink only
+    ever sees surviving pages' kept lines (no javascript banners, no
+    brace/lorem pages), and the gate strictly shrinks the corpus."""
+    import curate_job
+    from newocr_spark.analytics import curation as C
+
+    paged = str(tmp_path / "paged_docs")
+    base = spark.read.parquet(SF_DOCS)
+    # synthesize multi-line pages (same generator the contract query uses)
+    # and keep the lang/source columns the job's later stages need
+    C._with_page(base).join(
+        base.select("doc_id", "lang", "source"), "doc_id"
+    ).write.parquet(paged)
+
+    out = str(tmp_path / "c4_out")
+    n = curate_job.main(
+        ["--documents", paged, "--output", out, "--shards", "4",
+         "--c4-gate", "--benchmark-mod", "0"],
+        spark=spark,
+    )
+    n_pages = spark.read.parquet(paged).count()
+    assert 0 < n < n_pages
+    df = spark.read.parquet(out)
+    low = F.lower(F.col("text"))
+    assert df.filter(low.contains("javascript")).count() == 0
+    assert df.filter(F.col("text").contains("{")).count() == 0
+    assert df.filter(low.contains("lorem ipsum")).count() == 0
+    # dropped page classes are really gone: doc_id % 13 == 7 pages carry
+    # the lorem line and must not survive the page rule
+    assert df.filter(F.pmod(F.col("doc_id"), F.lit(13)) == 7).count() == 0
