@@ -648,6 +648,91 @@ def dsir_weights(
     )
 
 
+def chunk_windows(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    fixed-size windows with overlap (stride < window) — the standard
+    retrieval/eval preprocessing step (RAG passage windows, BERT-style
+    striding), and the within-doc complement to `pack_sequences` (which
+    concatenates ACROSS docs; this splits WITHIN one).
+
+    Chunk starts are 0, stride, 2*stride, ...; the last chunk starts at
+    the final multiple of stride still inside the doc, so trailing tokens
+    are never dropped (it may be shorter than `window`). A doc shorter
+    than one window yields exactly one chunk; an empty doc yields one
+    empty chunk (chunk_text '', n_tok counts the ''-token like the
+    packing family does).
+
+    Output: (doc_id, chunk_id, tok_start, n_tok, chunk_text).
+
+    100 TB shape: one in-codegen projection — `transform(sequence(...))`
+    builds every window as a token-array slice inside whole-stage codegen,
+    then ONE posexplode generates chunk rows; no shuffle, no Python, no
+    window function. Row count multiplies by ~n_tok/stride, which is the
+    operator's contract (each chunk is a training/retrieval unit).
+    No reference analogue (NewOCR has no curation ops) — public-practice
+    citation only."""
+    if not (0 < stride <= window):
+        # stride > window would skip tokens between chunks; the
+        # trailing-coverage invariant (last start + window >= n) needs it
+        raise ValueError(f"stride must be in (0, window]: {stride}, {window}")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    # number of stride steps AFTER the first chunk: ceil((n-window)/stride)
+    # clamped at 0 — integer arithmetic only, identical in both engines
+    extra = F.greatest(
+        F.lit(0),
+        -F.floor(-(n - F.lit(window)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), extra),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, window), " "
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("tok_start"),
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long").alias("n_tok"),
+        "chunk_text",
+    )
+
+
+def chunk_windows_sql(window: int = 64, stride: int = 48) -> str:
+    """Oracle: identical slicing in DuckDB (range() per doc replaces
+    posexplode; same ceil-division chunk count, same list_slice)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             greatest(0, CAST(-floor((-(len(toks) - {window}))
+                                     / {stride}.0) AS INT)) AS extra
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, unnest(range(0, extra + 1)) AS chunk_id, toks
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {stride} AS BIGINT) AS tok_start,
+           CAST(len(string_split_regex(
+             array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                        chunk_id * {stride} + {window}), ' '),
+             '\\s+')) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                      chunk_id * {stride} + {window}), ' ')
+             AS chunk_text
+    FROM c
+    """
+
+
 C4_MIN_WORDS = 5
 C4_MIN_SENTENCES = 3
 C4_BADWORDS = ("unsafeword",)  # stand-in blocklist; production swaps the list

@@ -497,6 +497,12 @@ def q_dsir_weights(spark, sf):  # DSIR importance-resampling data selection
     return C.dsir_weights(load(spark, sf, "documents"))
 
 
+def q_chunk_windows(spark, sf):  # sliding-window retrieval/eval chunking
+    from .analytics import curation as C
+
+    return C.chunk_windows(load(spark, sf, "documents"))
+
+
 def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     from .analytics import curation as C
 
@@ -657,6 +663,7 @@ QUERIES = {
     "pack_efficiency": q_pack_efficiency,
     "dsir_weights": q_dsir_weights,
     "c4_clean": q_c4_clean,
+    "chunk_windows": q_chunk_windows,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -773,6 +780,7 @@ def _register_curation_oracles() -> None:
     ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
     ORACLES["dsir_weights"] = C.dsir_weights_sql()
     ORACLES["c4_clean"] = C.c4_clean_sql()
+    ORACLES["chunk_windows"] = C.chunk_windows_sql()
 
 
 _register_media_oracles()

@@ -255,6 +255,13 @@ CHECKS = {
         ["Project"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "chunk_windows": (
+        "every window is a token-array slice built by transform(sequence) "
+        "inside whole-stage codegen, then ONE posexplode (Generate) emits "
+        "chunk rows — no shuffle, no Python, no window function",
+        ["Generate", "Project"],
+        ["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "semdedup": (
         "cell assignment is one narrow Arrow map against broadcast "
         "k-means centroids (trained on a bounded driver-side sample); "

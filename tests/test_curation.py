@@ -432,3 +432,48 @@ def test_c4_clean_empty_and_short_docs(spark):
     out = {r.doc_id: r for r in c4_clean(docs).collect()}
     for r in out.values():
         assert r.n_kept == 0 and not r.keep and r.clean_text == ""
+
+
+def test_chunk_windows_overlap_and_trailing_coverage(spark):
+    from newocr_spark.analytics.curation import chunk_windows
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    out = sorted(
+        chunk_windows(docs, window=64, stride=48).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # ceil((100-64)/48) = 1 extra chunk -> 2 chunks at starts 0 and 48
+    assert [r.tok_start for r in out] == [0, 48]
+    assert out[0].chunk_text.split() == words[:64] and out[0].n_tok == 64
+    # the last chunk is shorter but covers through the final token
+    assert out[1].chunk_text.split() == words[48:] and out[1].n_tok == 52
+    # overlap region: stride < window means 16 tokens appear in both
+    assert set(out[0].chunk_text.split()) & set(out[1].chunk_text.split()) \
+        == set(words[48:64])
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    from newocr_spark.analytics.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id bigint, text string"
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in chunk_windows(docs).collect()}
+    assert len(out) == 2
+    assert out[(1, 0)].chunk_text == "a b c" and out[(1, 0)].n_tok == 3
+    assert out[(2, 0)].chunk_text == "" and out[(2, 0)].n_tok == 1
+
+
+def test_chunk_windows_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from newocr_spark.analytics.curation import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, window=8, stride=9)
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, window=8, stride=0)
