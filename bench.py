@@ -35,7 +35,8 @@ BENCH_QUERIES = (
     "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
     "incremental_neardup",
-    "lang_id", "doc_quality", "fingerprints", "token_counts",
+    "lang_id", "doc_quality", "fingerprints", "winnow_fingerprints",
+    "token_counts",
     "repetition_stats", "source_mix", "mixture_weights", "source_overlap",
     "unigram_logprob",
     "vocab_stats", "quality_buckets", "tfidf_topterms", "bm25_search",

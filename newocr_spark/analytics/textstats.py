@@ -497,6 +497,82 @@ def fingerprints_sql() -> str:
     """
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    selection rule): hash every k-gram of tokens, slide a window of w
+    consecutive hashes, and select each window's MINIMUM hash. The
+    selected set (the document's "sketch") carries the paper's guarantee:
+    any shared substring of at least w + k - 1 tokens contributes at
+    least one shared fingerprint, while only ~2/(w+1) of all k-gram
+    hashes are kept. Candidate dup pairs are then an equi-join on `fp` —
+    the scalable substring-match primitive `fingerprints`' min/max sketch
+    can't provide.
+
+    Docs shorter than k tokens yield zero rows (no k-grams, matching
+    `_shingles`); docs with 1 ≤ m < w hashes yield one window over all
+    of them. Output: (doc_id, fp) distinct per doc.
+
+    100 TB shape: the whole selection is ONE in-codegen projection —
+    k-gram hashing and window minima are `transform(sequence(...))` /
+    `array_min(slice(...))` over per-doc arrays, then one explode; no
+    shuffle, no Python. Join fan-out downstream is bounded by the sketch
+    density 2/(w+1), and md5-derived hashes spread the fp key space
+    evenly. No reference analogue — public-paper citation only."""
+    from .dedup import _h60
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be positive: {k}, {w}")
+    toks = _tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"), (F.size(toks) - k + 1).alias("m"))
+    d = d.filter(F.col("m") >= 1).select(
+        "doc_id",
+        "m",
+        F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda i: _h60(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+        ).alias("hashes"),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("m") - w + 1, F.lit(1))),
+            lambda p: F.array_min(F.slice(F.col("hashes"), p, w)),
+        )
+    )
+    return d.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprints_sql(k: int = 4, w: int = 4) -> str:
+    """Oracle: identical k-gram hashing and window-min selection in DuckDB
+    (range/list_transform/list_min mirror sequence/transform/array_min;
+    same md5-derived 60-bit hash)."""
+    from .dedup import H60_SQL, TOKENS_SQL
+
+    h = H60_SQL.format(
+        x=f"array_to_string(list_slice(toks, i, i + {k} - 1), ' ')"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks,
+             len({TOKENS_SQL}) - {k} + 1 AS m
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, m,
+             list_transform(range(1, m + 1), i -> {h}) AS hashes
+      FROM t WHERE m >= 1
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(m - {w} + 1, 1) + 1),
+             p -> list_min(list_slice(hashes, p, p + {w} - 1))
+           ))) AS fp
+    FROM h
+    """
+
+
 def corpus_curation(docs: DataFrame, quality_floor: float = 0.85) -> DataFrame:
     """End-to-end training-data curation — the canonical pre-training
     corpus pass, composed from the operators above:

@@ -497,6 +497,10 @@ def q_dsir_weights(spark, sf):  # DSIR importance-resampling data selection
     return C.dsir_weights(load(spark, sf, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf):  # MOSS winnowing sketch rows
+    return T.winnow_fingerprints(load(spark, sf, "documents"))
+
+
 def q_chunk_windows(spark, sf):  # sliding-window retrieval/eval chunking
     from .analytics import curation as C
 
@@ -664,6 +668,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "c4_clean": q_c4_clean,
     "chunk_windows": q_chunk_windows,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "embed_neardup": q_embed_neardup,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
@@ -729,6 +734,7 @@ ORACLES = {
     "repetition_stats": T.repetition_stats_sql(),
     "source_mix": T.source_mix_sql(),
     "mixture_weights": T.mixture_weights_sql(),
+    "winnow_fingerprints": T.winnow_fingerprints_sql(),
     "source_overlap": D.source_overlap_sql(0.5),
     "unigram_logprob": T.unigram_logprob_sql(),
     "vocab_stats": T.vocab_stats_sql(),

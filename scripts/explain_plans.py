@@ -255,6 +255,13 @@ CHECKS = {
         ["Project"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "winnow_fingerprints": (
+        "k-gram hashing and window-min selection are transform(sequence)/"
+        "array_min(slice) over per-doc arrays in one in-codegen projection "
+        "+ one Generate — no shuffle, no Python",
+        ["Generate", "Project"],
+        ["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "chunk_windows": (
         "every window is a token-array slice built by transform(sequence) "
         "inside whole-stage codegen, then ONE posexplode (Generate) emits "

@@ -163,3 +163,42 @@ def test_mixture_weights_sqrt_temperature(spark):
     # the small source is upsampled past one epoch at this budget
     assert out["small"].epochs > 1.0 > out["big"].epochs
     assert abs(out["small"].epochs - 1700 * 0.2 / 100) < 1e-5
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Schleimer et al. 2003: any shared substring of >= w + k - 1 tokens
+    must contribute at least one shared fingerprint; the sketch is much
+    smaller than the full k-gram set."""
+    from newocr_spark.analytics.textstats import winnow_fingerprints
+
+    k, w = 4, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # exactly w+k-1
+    a = "alpha beta gamma " + shared + " delta epsilon"
+    b = "one two three four five " + shared + " six"
+    c = " ".join(f"u{i}" for i in range(30))  # no overlap with a or b
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    rows = winnow_fingerprints(docs, k=k, w=w).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]            # guarantee: shared fingerprint
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: far fewer fingerprints than k-grams (30-3 grams in doc 3)
+    assert len(fps[3]) < 27
+
+
+def test_winnow_fingerprints_short_doc_edges(spark):
+    from newocr_spark.analytics.textstats import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id bigint, text string",
+    )
+    out = {}
+    for r in winnow_fingerprints(docs, k=4, w=4).collect():
+        out.setdefault(r.doc_id, []).append(r.fp)
+    assert 1 not in out                 # < k tokens: no k-grams, no rows
+    assert len(out[2]) == 1             # m=1 < w: one window over all
+    assert len(out[3]) == 1             # m=2 < w: window min collapses
