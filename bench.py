@@ -43,7 +43,7 @@ BENCH_QUERIES = (
     "crossdoc_substr", "crossdoc_cut",
     "pii_scrub", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest", "pack_bucketed", "pack_efficiency", "dsir_weights",
-    "c4_clean", "chunk_windows",
+    "c4_clean", "gopher_quality", "chunk_windows",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",
     "neardup_recall", "semdedup",
 )

@@ -1297,3 +1297,205 @@ def crossdoc_cut_sql(
     LEFT JOIN cut_stats cs ON cs.doc_id = t.doc_id
     LEFT JOIN owned ow ON ow.doc_id = t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (Rae et al. 2021, table A1 — the
+# NON-repetition half; `repetition_stats` covers the repetition half).
+# Published rule set, applied verbatim:
+#   word count in [50, 100_000]; mean word length in [3, 10]; symbol-to-
+#   word ratio (# or ...) <= 0.1; < 90% of lines bullet-started; < 30% of
+#   lines ellipsis-ended; >= 80% of words contain an alphabetic char;
+#   >= 2 of the required stop words {the, be, to, of, and, that, have,
+#   with}. No reference analogue (NewOCR has no curation ops).
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _with_gopher_page(docs: DataFrame) -> DataFrame:
+    """Deterministically synthesize a multi-line page per doc so every
+    Gopher rule fires on a known slice of the corpus (the synthetic word
+    soup is one short line: the line rules would be vacuous and the
+    50-word floor would drop everything). Every line is a pure function
+    of (doc_id, text) so the oracle rebuilds the identical page in SQL.
+
+    cls = doc_id % 53 picks ONE violation class (classes are mutually
+    exclusive by construction; ~2% of docs each at sf0.01):
+      1 every line bullet-prefixed      -> fails ok_bullet_lines
+      2 three of five lines end '...'   -> fails ok_ellipsis_lines
+      3 a line of L '#' marks           -> fails ok_symbol_ratio only
+        (alpha fraction stays >= (5L+4)/(6L+5) > 0.8)
+      4 2L numeric words                -> fails ok_alpha_words only
+      5 stop-word tail omitted          -> fails ok_stopwords (the soup
+        vocabulary contains only 'the' from the required set)
+      6 five-word page                  -> fails ok_word_count
+      7 5L single-char words            -> fails ok_mean_word_len (< 3)
+      else a five-line page (one bullet line, one ' of and that have'
+        tail) that passes every rule."""
+    u = _tokens(F.col("text"))
+    L = F.size(u)
+    body = F.array_join(u, " ")
+    bullet = lambda line: F.concat(F.lit("- "), line)
+    dots = lambda line: F.concat(line, F.lit("..."))
+    l2 = bullet(body)
+    l3 = F.concat(body, F.lit(" of and that have"))
+    five = [body, l2, l3, body, body]
+    blob = lambda word, n: F.array_join(F.array_repeat(F.lit(word), n), " ")
+    cls = F.col("doc_id") % 53
+    page = (
+        F.when(cls == 1, F.concat_ws("\n", *[bullet(x) for x in five]))
+        .when(cls == 2, F.concat_ws("\n", dots(body), l2, dots(l3), dots(body), body))
+        .when(cls == 3, F.concat_ws("\n", *five, blob("#", L)))
+        .when(cls == 4, F.concat_ws("\n", *five, blob("12345", 2 * L)))
+        .when(cls == 5, F.concat_ws("\n", body, l2, body, body, body))
+        .when(cls == 6, F.array_join(F.slice(u, 1, 5), " "))
+        .when(cls == 7, F.concat_ws("\n", *five, blob("x", 5 * L)))
+        .otherwise(F.concat_ws("\n", *five))
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, table A1,
+    quality-filter half) over (doc_id, text) pages.
+
+    Output: (doc_id, n_words, n_lines, mean_word_len, symbol_frac,
+    bullet_frac, ellipsis_frac, alpha_frac, req_stopwords, ok_word_count,
+    ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines,
+    ok_alpha_words, ok_stopwords, keep).
+
+    Every gate is EXACT INTEGER arithmetic (10*n_sym <= n_words, not
+    n_sym/n_words <= 0.1) so Spark and DuckDB cannot disagree on a float
+    boundary; the fractional columns are 6-dp-rounded REPORTS, never
+    inputs to a decision.
+
+    100 TB shape: one narrow in-codegen projection per doc — split /
+    higher-order filter / aggregate / regexp_count are all JVM
+    expressions, so there is no shuffle, no Python, and only (doc_id,
+    text) in the scan. Like `c4_clean` this is a cheapest-first gate:
+    compose it BEFORE any dedup/LSH stage so quadratic-adjacent stages
+    never see the spam it drops."""
+    w = _tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(w).cast("long")
+    word_chars = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    ).cast("long")
+    n_ellipsis = F.regexp_count(F.col("text"), F.lit(r"\.\.\.")).cast("long")
+    n_sym = n_hash + n_ellipsis
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("long")
+    n_ellip_lines = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    req = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    n_req = F.size(F.array_intersect(req, w)).cast("long")
+    ok_word_count = (n_words >= 50) & (n_words <= 100000)
+    ok_mean_word_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    ok_symbol_ratio = 10 * n_sym <= n_words
+    ok_bullet_lines = 10 * n_bullet < 9 * n_lines
+    ok_ellipsis_lines = 10 * n_ellip_lines < 3 * n_lines
+    ok_alpha_words = 5 * n_alpha >= 4 * n_words
+    ok_stopwords = n_req >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.round(word_chars / n_words, 6).alias("mean_word_len"),
+        F.round(n_sym / n_words, 6).alias("symbol_frac"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_frac"),
+        F.round(n_ellip_lines / n_lines, 6).alias("ellipsis_frac"),
+        F.round(n_alpha / n_words, 6).alias("alpha_frac"),
+        n_req.alias("req_stopwords"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_word_len.alias("ok_mean_word_len"),
+        ok_symbol_ratio.alias("ok_symbol_ratio"),
+        ok_bullet_lines.alias("ok_bullet_lines"),
+        ok_ellipsis_lines.alias("ok_ellipsis_lines"),
+        ok_alpha_words.alias("ok_alpha_words"),
+        ok_stopwords.alias("ok_stopwords"),
+        (
+            ok_word_count
+            & ok_mean_word_len
+            & ok_symbol_ratio
+            & ok_bullet_lines
+            & ok_ellipsis_lines
+            & ok_alpha_words
+            & ok_stopwords
+        ).alias("keep"),
+    )
+
+
+def gopher_quality_sql() -> str:
+    """Full oracle: identical page synthesis + identical integer gates."""
+    nl = "chr(10)"
+    five = (
+        f"body || {nl} || '- ' || body || {nl} || body || ' of and that have' "
+        f"|| {nl} || body || {nl} || body"
+    )
+    req = list(GOPHER_REQUIRED_STOPWORDS)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             array_to_string(string_split_regex(trim(text), '\\s+'), ' ') AS body,
+             len(string_split_regex(trim(text), '\\s+')) AS L
+      FROM documents),
+    pages AS (
+      SELECT doc_id,
+        CASE doc_id % 53
+          WHEN 1 THEN '- ' || body || {nl} || '- - ' || body || {nl}
+                      || '- ' || body || ' of and that have' || {nl}
+                      || '- ' || body || {nl} || '- ' || body
+          WHEN 2 THEN body || '...' || {nl} || '- ' || body || {nl}
+                      || body || ' of and that have...' || {nl}
+                      || body || '...' || {nl} || body
+          WHEN 3 THEN {five} || {nl} || rtrim(repeat('# ', L))
+          WHEN 4 THEN {five} || {nl} || rtrim(repeat('12345 ', 2 * L))
+          WHEN 5 THEN body || {nl} || '- ' || body || {nl} || body
+                      || {nl} || body || {nl} || body
+          WHEN 6 THEN array_to_string(toks[1:5], ' ')
+          WHEN 7 THEN {five} || {nl} || rtrim(repeat('x ', 5 * L))
+          ELSE {five}
+        END AS text
+      FROM u),
+    feat AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS w,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM pages),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellip,
+             CAST(len(list_intersect({req!r}::VARCHAR[], w)) AS BIGINT) AS n_req
+      FROM feat)
+    SELECT doc_id, n_words, n_lines,
+           round(word_chars * 1.0 / n_words, 6) AS mean_word_len,
+           round(n_sym * 1.0 / n_words, 6) AS symbol_frac,
+           round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+           round(n_ellip * 1.0 / n_lines, 6) AS ellipsis_frac,
+           round(n_alpha * 1.0 / n_words, 6) AS alpha_frac,
+           n_req AS req_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS ok_mean_word_len,
+           (10 * n_sym <= n_words) AS ok_symbol_ratio,
+           (10 * n_bullet < 9 * n_lines) AS ok_bullet_lines,
+           (10 * n_ellip < 3 * n_lines) AS ok_ellipsis_lines,
+           (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+           (n_req >= 2) AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND 10 * n_sym <= n_words
+            AND 10 * n_bullet < 9 * n_lines
+            AND 10 * n_ellip < 3 * n_lines
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_req >= 2) AS keep
+    FROM m
+    """

@@ -513,6 +513,10 @@ def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     return C.c4_clean(C._with_page(load(spark, sf, "documents")))
 
 
+def q_gopher_quality(spark, sf):  # Gopher table-A1 quality gate (non-repetition half)
+    return T.gopher_quality(T._with_gopher_page(load(spark, sf, "documents")))
+
+
 def q_embed_neardup(spark, sf):
     # 0.4 sits in the top ~0.05% of this corpus's pairwise-cosine tail
     # (max ≈ 0.51) — high thresholds like 0.9 would match nothing here
@@ -667,6 +671,7 @@ QUERIES = {
     "pack_efficiency": q_pack_efficiency,
     "dsir_weights": q_dsir_weights,
     "c4_clean": q_c4_clean,
+    "gopher_quality": q_gopher_quality,
     "chunk_windows": q_chunk_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
     "embed_neardup": q_embed_neardup,
@@ -786,6 +791,7 @@ def _register_curation_oracles() -> None:
     ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
     ORACLES["dsir_weights"] = C.dsir_weights_sql()
     ORACLES["c4_clean"] = C.c4_clean_sql()
+    ORACLES["gopher_quality"] = T.gopher_quality_sql()
     ORACLES["chunk_windows"] = C.chunk_windows_sql()
 
 

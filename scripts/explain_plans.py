@@ -255,6 +255,15 @@ CHECKS = {
         ["Project"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "gopher_quality": (
+        "Gopher table-A1 quality gates are one narrow in-codegen "
+        "projection per doc — split / higher-order filter / aggregate / "
+        "regexp_count are all JVM expressions; integer-exact gate "
+        "arithmetic; no shuffle, no Python, only (doc_id, text) in "
+        "ReadSchema",
+        ["Project"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "winnow_fingerprints": (
         "k-gram hashing and window-min selection are transform(sequence)/"
         "array_min(slice) over per-doc arrays in one in-codegen projection "

@@ -477,3 +477,107 @@ def test_chunk_windows_rejects_bad_stride(spark):
         chunk_windows(docs, window=8, stride=9)
     with _pytest.raises(ValueError):
         chunk_windows(docs, window=8, stride=0)
+
+
+def _gq_row(spark, text, doc_id=1):
+    from newocr_spark.analytics.textstats import gopher_quality
+
+    docs = spark.createDataFrame([(doc_id, text)], "doc_id bigint, text string")
+    return gopher_quality(docs).collect()[0]
+
+
+def test_gopher_quality_each_rule_in_isolation(spark):
+    """Each Gopher table-A1 quality rule (Rae et al. 2021) flips exactly
+    its own gate on a page built to violate only that rule."""
+    # 60 alpha words incl. two required stop words -> passes everything
+    base = " ".join(["alpha", "beta", "gamma", "delta"] * 14 + ["of", "and"]) 
+    r = _gq_row(spark, base)
+    assert r.keep and r.n_words == 58 and r.ok_word_count
+    # word count below 50
+    r = _gq_row(spark, "of and " + " ".join(["word"] * 10))
+    assert not r.ok_word_count and r.ok_mean_word_len and not r.keep
+    # mean word length below 3 (single-char spam)
+    r = _gq_row(spark, base + " " + " ".join(["x"] * 120))
+    assert not r.ok_mean_word_len and r.ok_word_count and not r.keep
+    # symbol-to-word ratio: 10 hashes against 58 words > 0.1
+    r = _gq_row(spark, base + " " + " ".join(["#"] * 10))
+    assert not r.ok_symbol_ratio and not r.keep
+    # ellipsis occurrences count toward the symbol ratio too
+    r = _gq_row(spark, base + " " + " ".join(["..."] * 10))
+    assert not r.ok_symbol_ratio
+    # bullet lines >= 90%: every line bulleted
+    bulleted = "\n".join(f"- {base}" for _ in range(5))
+    r = _gq_row(spark, bulleted)
+    assert not r.ok_bullet_lines and not r.keep
+    # one bullet line of five is fine
+    r = _gq_row(spark, "\n".join([base, f"- {base}", base, base, base]))
+    assert r.ok_bullet_lines and r.keep
+    # ellipsis-ended lines >= 30%: two of five
+    r = _gq_row(spark, "\n".join([base + "...", base, base + "...", base, base]))
+    assert not r.ok_ellipsis_lines and not r.keep
+    # alpha-word fraction < 80%: 20 numeric words against 58
+    r = _gq_row(spark, base + " " + " ".join(["12345"] * 20))
+    assert not r.ok_alpha_words and not r.keep
+    # fewer than 2 required stop words
+    r = _gq_row(spark, " ".join(["alpha", "beta", "gamma", "delta"] * 15))
+    assert not r.ok_stopwords and r.req_stopwords == 0 and not r.keep
+
+
+def test_gopher_quality_integer_gate_boundaries(spark):
+    """The published thresholds hold with exact integer arithmetic at the
+    boundary: exactly 50 words passes (>=), exactly 0.1 symbol ratio
+    passes (<=), exactly 80% alpha passes (>=), exactly 30% ellipsis
+    lines and exactly 90% bullet lines fail (strict <)."""
+    w48 = " ".join(["word"] * 48)  # + of/and = 50 words
+    r = _gq_row(spark, f"of and {w48}")
+    assert r.ok_word_count and r.n_words == 50
+    # 6 hashes on 54 base words: 60 words total, ratio exactly 0.1 -> pass
+    r = _gq_row(spark, f"of and {w48} word word word word "
+                + " ".join(["#"] * 6))
+    assert r.n_words == 60 and r.ok_symbol_ratio
+    # 7 hashes on 63 words total: 70 > 63 -> fail
+    r = _gq_row(spark, f"of and {w48} word word word word "
+                + " ".join(["#"] * 7) + " word word")
+    assert r.n_words == 63 and not r.ok_symbol_ratio
+    # exactly 80% alpha: 40 alpha + 10 numeric = 50 words -> pass (>=)
+    r = _gq_row(spark, "of and " + " ".join(["word"] * 38)
+                + " " + " ".join(["12345"] * 10))
+    assert r.n_words == 50 and r.ok_alpha_words
+    # 39 alpha of 50 -> fail
+    r = _gq_row(spark, "of and " + " ".join(["word"] * 37)
+                + " " + " ".join(["12345"] * 11))
+    assert r.n_words == 50 and not r.ok_alpha_words
+    # exactly 30% ellipsis-ended lines (3 of 10) -> fail (strict <)
+    line = f"of and {w48}"
+    r = _gq_row(spark, "\n".join([line + "..."] * 3 + [line] * 7))
+    assert r.n_lines == 10 and not r.ok_ellipsis_lines
+    r = _gq_row(spark, "\n".join([line + "..."] * 2 + [line] * 8))
+    assert r.ok_ellipsis_lines
+    # exactly 90% bullet lines (9 of 10) -> fail (strict <)
+    r = _gq_row(spark, "\n".join([f"- {line}"] * 9 + [line]))
+    assert not r.ok_bullet_lines
+    r = _gq_row(spark, "\n".join([f"- {line}"] * 8 + [line] * 2))
+    assert r.ok_bullet_lines
+
+
+def test_gopher_page_synthesis_classes_fire_expected_rules(spark):
+    """The deterministic page synthesis sends each doc_id%53 class to
+    exactly its intended violation at corpus level (sf0.001)."""
+    from newocr_spark.analytics.textstats import (
+        _with_gopher_page,
+        gopher_quality,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = gopher_quality(_with_gopher_page(docs)).toPandas()
+    cls = out.doc_id % 53
+    assert not out[cls == 1].ok_bullet_lines.any()
+    assert not out[cls == 2].ok_ellipsis_lines.any()
+    assert not out[cls == 3].ok_symbol_ratio.any()
+    assert out[cls == 3].ok_alpha_words.all()  # '#' spam stays >= 80% alpha
+    assert not out[cls == 4].ok_alpha_words.any()
+    assert not out[cls == 5].ok_stopwords.any()
+    assert not out[cls == 6].ok_word_count.any()
+    assert not out[cls == 7].ok_mean_word_len.any()
+    normal = out[~cls.isin(range(1, 8))]
+    assert normal.keep.all() and len(normal) > 0
