@@ -18,6 +18,14 @@ documented in analytics/curation.py / analytics/dedup.py):
       fingerprints) consistent between history and future increments,
       which all pass the same deterministic cleaner. Opt-in: the rules
       assume web-page text with punctuation.
+  [--gopher-gate] Gopher document-quality gate (Rae et al. 2021 table
+      A1, the non-repetition half via textstats.gopher_quality): drop
+      pages failing the published word-count / mean-word-length /
+      symbol-ratio / bullet- and ellipsis-line / alpha-word /
+      required-stop-word rules. Also one in-codegen projection — runs
+      right after C4 so both cheap gates fire before any shuffle stage.
+      Opt-in for the same reason C4 is: the rules assume natural-language
+      web text.
   [incremental mode] gate the input against a persisted band-signature
       index (--band-index; dedup.incremental_neardup) — a daily crawl
       increment never re-LSHes history; docs colliding with any indexed
@@ -112,6 +120,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "other stage: junk pages drop, surviving pages keep only their "
         "clean lines (assumes web-page text with punctuation)",
     )
+    p.add_argument(
+        "--gopher-gate", action="store_true",
+        help="drop pages failing the Gopher table-A1 quality rules "
+        "(textstats.gopher_quality) right after the C4 stage (assumes "
+        "natural-language web text)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--band-index", default=None)
     p.add_argument("--write-band-index", default=None)
@@ -163,6 +177,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             .drop("text")
             .withColumnRenamed("_c4_text", "text")
         )
+
+    # -0.5. Gopher quality gate (opt-in): the second in-codegen-only gate —
+    # drop-only (no rewrite), so it composes with C4 in either order; both
+    # run before anything that shuffles.
+    if args.gopher_gate:
+        from newocr_spark.analytics.textstats import gopher_quality
+
+        bad = gopher_quality(docs).filter(~F.col("keep")).select("doc_id")
+        docs = docs.join(bad, "doc_id", "left_anti")
 
     # 0. incremental mode: gate against the persisted band index — docs
     # near-duplicating PRIOR ingests drop before any heavy stage runs

@@ -273,3 +273,33 @@ def test_curate_job_c4_gate_cleans_before_everything(spark, tmp_path):
     # dropped page classes are really gone: doc_id % 13 == 7 pages carry
     # the lorem line and must not survive the page rule
     assert df.filter(F.pmod(F.col("doc_id"), F.lit(13)) == 7).count() == 0
+
+
+def test_curate_job_gopher_gate_drops_violating_pages(spark, tmp_path):
+    """--gopher-gate: pages violating any Gopher table-A1 quality rule
+    drop at ingest — every doc_id%53 violation class vanishes from the
+    sink while the corpus strictly shrinks (and not to zero)."""
+    import curate_job
+    from newocr_spark.analytics import textstats as T
+
+    paged = str(tmp_path / "gopher_docs")
+    base = spark.read.parquet(SF_DOCS)
+    T._with_gopher_page(base).join(
+        base.select("doc_id", "lang", "source"), "doc_id"
+    ).write.parquet(paged)
+
+    out = str(tmp_path / "gopher_out")
+    n = curate_job.main(
+        ["--documents", paged, "--output", out, "--shards", "4",
+         "--gopher-gate", "--benchmark-mod", "0",
+         "--no-crossdoc-gate", "--no-repetition-gate"],
+        spark=spark,
+    )
+    n_pages = spark.read.parquet(paged).count()
+    assert 0 < n < n_pages
+    df = spark.read.parquet(out)
+    # every synthesized violation class is gone (1..7 = bullet spam,
+    # ellipsis spam, '#' spam, numeric spam, no stop words, too short,
+    # single-char spam)
+    for cls in range(1, 8):
+        assert df.filter(F.pmod(F.col("doc_id"), F.lit(53)) == cls).count() == 0, cls
