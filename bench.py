@@ -34,7 +34,7 @@ BENCH_QUERIES = (
     "grouped_avg_meta", "minmax_center", "running_max", "multi_dim_star",
     "rollup_agg", "corpus_curation",
     "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash", "dedup_clusters",
-    "incremental_neardup",
+    "dedup_keep_best", "incremental_neardup",
     "lang_id", "doc_quality", "fingerprints", "winnow_fingerprints",
     "token_counts",
     "repetition_stats", "source_mix", "mixture_weights", "source_overlap",

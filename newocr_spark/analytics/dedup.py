@@ -1130,3 +1130,95 @@ def simhash_sql() -> str:
     bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
     SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM bits
     """
+
+
+def keep_best_in_cluster(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    HIGHEST-quality member instead of the minimum doc_id. `dup_clusters`'
+    min-id policy is the right default for determinism, but when mirrors
+    differ (one copy truncated, one ad-injected, one clean) a corpus owner
+    wants the best copy, not the earliest-crawled one — the canonical-
+    selection step production curation pipelines run between cluster
+    resolution and the drop (same role as Lee et al. 2022's keep-one
+    policy, with `textstats.doc_quality`'s score as the tiebreaker).
+
+    Output: (doc_id, cluster_id, cluster_size, quality_score,
+    canonical_id, keep) for every clustered doc; keep is True on exactly
+    one member per cluster (argmax quality_score, ties to the smaller
+    doc_id — fully deterministic).
+
+    100 TB shape: inherits dup_clusters' cost (exact-dup collapse before
+    banding, O(E)-per-round components); the selection itself is one
+    (cluster_id) shuffle + one window over clusters that are tiny by
+    construction (cluster_size ≪ corpus). quality_score is 6-dp-rounded
+    by doc_quality in BOTH engines, so the argmax ordering cannot diverge
+    on a float boundary."""
+    from pyspark.sql import Window as W
+
+    from .textstats import doc_quality
+
+    clusters = dup_clusters(
+        docs, n=n, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+    quality = doc_quality(docs).select("doc_id", "quality_score")
+    w = (
+        W.partitionBy("cluster_id")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality_score",
+            F.first("doc_id").over(w).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+def keep_best_in_cluster_sql(threshold: float = 0.5) -> str:
+    """Oracle: the dup_clusters recursive-CTE closure + doc_quality's
+    score + a first_value window with the identical ordering."""
+    from .textstats import doc_quality_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_lsh_sql(threshold)}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+    ),
+    sized AS (
+      SELECT l.doc_id, l.cluster_id, c.cluster_size
+      FROM labels l
+      JOIN (SELECT cluster_id, count(*) AS cluster_size
+            FROM labels GROUP BY 1) c USING (cluster_id)
+    ),
+    q AS (SELECT doc_id, quality_score FROM ({doc_quality_sql()})),
+    ranked AS (
+      SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality_score,
+             first_value(s.doc_id) OVER (
+               PARTITION BY s.cluster_id
+               ORDER BY q.quality_score DESC, s.doc_id) AS canonical_id
+      FROM sized s JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, cluster_size, quality_score, canonical_id,
+           (doc_id = canonical_id) AS keep
+    FROM ranked
+    """

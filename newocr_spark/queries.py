@@ -373,6 +373,10 @@ def q_dedup_clusters(spark, sf):
     return D.dup_clusters(load(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dedup_keep_best(spark, sf):  # quality-aware canonical per cluster
+    return D.keep_best_in_cluster(load(spark, sf, "documents"), threshold=0.5)
+
+
 def q_lang_id(spark, sf):
     return T.lang_id(load(spark, sf, "documents"))
 
@@ -646,6 +650,7 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "fingerprints": q_fingerprints,
@@ -731,6 +736,7 @@ ORACLES = {
     "incremental_neardup": D.incremental_neardup_sql(),
     "simhash": D.simhash_sql(),
     "dedup_clusters": D.dup_clusters_sql(0.5),
+    "dedup_keep_best": D.keep_best_in_cluster_sql(0.5),
     "lang_id": T.lang_id_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),

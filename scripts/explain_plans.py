@@ -171,6 +171,15 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "dedup_keep_best": (
+        "quality-aware canonical selection above dup_clusters' "
+        "checkpointed labels: one equi-join on doc_id against the "
+        "narrow quality projection, one window partitioned by "
+        "cluster_id (clusters are tiny by construction) — no cross "
+        "product, no global sort",
+        ["Window", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "source_mix": (
         "quality expressions fuse into the scan; one (source) "
         "hash-aggregate with map-side partials; corpus totals arrive by "

@@ -95,3 +95,36 @@ def test_dup_clusters_sizes_and_canonicals(spark):
     cluster = {c for _, c, _ in got}
     assert cluster == {10}  # canonical = min doc_id of the component
     assert all(s == len(got) for _, _, s in got)
+
+
+def test_keep_best_in_cluster_argmax_quality_not_min_id(spark):
+    """Canonical selection must follow doc_quality's argmax, not the
+    min-id policy dup_clusters uses for cluster labels: the trio below
+    shares 11 of 13 bigram shingles (jaccard ~0.85 > 0.5) but only doc 12
+    is punctuation-free, so its quality_score is strictly highest and it
+    must be the single kept member even though the cluster LABEL is the
+    component min (10). Docs 12 and 14 are exact copies (identical text,
+    identical score) pinning the tie rule: smaller doc_id wins."""
+    from newocr_spark.analytics.dedup import keep_best_in_cluster
+
+    base = "alpha beta gamma delta epsilon zeta eta iota kappa lam mu nu"
+    rows = [
+        (10, base + " ###"),
+        (11, base + " %%%"),
+        (12, base + " www"),
+        (13, "completely different words entirely here now"),
+        (14, base + " www"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = keep_best_in_cluster(docs, threshold=0.5).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert {10, 11, 12, 14} <= set(by_id)  # 13 unclustered, excluded
+    # one cluster, labeled by the component min
+    assert {r.cluster_id for r in out} == {10}
+    # exactly one keep per cluster, and it is the clean copy
+    kept = [r.doc_id for r in out if r.keep]
+    assert kept == [12]
+    assert all(r.canonical_id == 12 for r in out)
+    # quality ordering that drove the choice: clean copies strictly above
+    assert by_id[12].quality_score > by_id[10].quality_score
+    assert by_id[12].quality_score == by_id[14].quality_score  # tie -> min id
