@@ -834,18 +834,18 @@ def c4_clean(docs: DataFrame) -> DataFrame:
     )
 
 
-def c4_clean_sql() -> str:
-    """Oracle: the identical page synthesis, line filter, and page rules
-    in DuckDB (list_filter lambda mirrors the Spark higher-order filter;
-    both engines run the LITERAL same RE2∩Java regexes)."""
-    # coalesce: list_slice past the end of a short doc is NULL in DuckDB
-    # but an empty array in Spark's F.slice — both must render ''
+def _page_cte_sql() -> str:
+    """The `_with_page` synthesis as DuckDB CTEs (`t`, `page`) — shared by
+    every oracle that runs over the synthesized multi-line pages.
+
+    coalesce: list_slice past the end of a short doc is NULL in DuckDB
+    but an empty array in Spark's F.slice — both must render ''."""
     seg = lambda start, last: (
         f"coalesce(array_to_string(list_slice(toks, {start}, {last}), ' '), '')"
     )
     badword = C4_BADWORDS[0]
     return f"""
-    WITH t AS (
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
     page AS (
@@ -868,7 +868,16 @@ def c4_clean_sql() -> str:
                     THEN 'this page mentions {badword} explicitly.' END
              ) AS text
       FROM t
-    ),
+    )"""
+
+
+def c4_clean_sql() -> str:
+    """Oracle: the identical page synthesis, line filter, and page rules
+    in DuckDB (list_filter lambda mirrors the Spark higher-order filter;
+    both engines run the LITERAL same RE2∩Java regexes)."""
+    badword = C4_BADWORDS[0]
+    return f"""
+    WITH {_page_cte_sql()},
     f AS (
       SELECT doc_id, text,
              string_split(text, chr(10)) AS lines,
@@ -950,4 +959,126 @@ def dsir_weights_sql(
     SELECT lwf.doc_id, lwf.n_grams, lwf.logweight,
            r.n_above * {select_den} < t.tot * {select_num} AS selected
     FROM lwf JOIN ranked r USING (logweight), tot t
+    """
+
+
+LINE_DEDUP_MIN_DOCS = 2
+
+
+def line_dedup(docs: DataFrame, min_docs: int = LINE_DEDUP_MIN_DOCS) -> DataFrame:
+    """CCNet-style line-level corpus dedup (Wenzek et al. 2020, §4.1):
+    a line (paragraph) whose normalized form appears in >= min_docs
+    DISTINCT documents is boilerplate — navigation banners, cookie
+    notices, footer legalese — and is removed from every document except
+    one canonical copy (the minimum doc_id that carries it, keeping the
+    corpus lossless the way `crossdoc_cut` keeps one owner per duplicated
+    substring). CCNet reports this single stage removes ~70% of raw
+    Common Crawl text, so it composes FIRST among the text-rewriting
+    stages in a real pipeline (document-level dedup cannot see it: the
+    surrounding unique text makes every page hash-distinct).
+
+    Normalization is lower + trim + whitespace-collapse; empty lines are
+    never dedup candidates. The same line twice in the OWNER doc stays
+    intact (the owner's text passes through verbatim for those keys).
+
+    Output: (doc_id, clean_text, n_lines, n_removed, frac_removed).
+
+    100 TB shape: lines reduce in-codegen to xxhash64 longs, so the
+    exploded frame carries (doc_id, pos, k64) — text NEVER rides an
+    exchange. One (k64) hash-aggregate with map-side partials (distinct
+    docs + min owner), one equi-join back (the duplicated-key side is the
+    small one: boilerplate keys ≪ total lines), one (doc_id) aggregate
+    collecting cut positions, and the rebuild is a JVM higher-order
+    indexed filter over split(text) after an equi-join on doc_id — the
+    crossdoc_cut exchange discipline. No pairwise term anywhere: B copies
+    of a banner cost B exploded rows, never B² pairs."""
+    norm = lambda l: F.regexp_replace(F.lower(F.trim(l)), r"\s+", " ")
+    lines = F.split(F.col("text"), "\n")
+    ex = docs.select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(norm(F.col("line"))).alias("k64"),
+        (norm(F.col("line")) != "").alias("nonempty"),
+    )
+    keyed = ex.filter("nonempty").drop("nonempty")
+    dup = (
+        keyed.groupBy("k64")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    cuts = (
+        keyed.join(dup, "k64")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("cut_pos"))
+    )
+    cut = F.coalesce(F.col("cut_pos"), F.array().cast("array<int>"))
+    kept = F.filter(lines, lambda l, i: ~F.array_contains(cut, i))
+    n_lines = F.size(lines)
+    n_removed = F.size(cut)
+    return (
+        docs.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, "\n").alias("clean_text"),
+            n_lines.cast("long").alias("n_lines"),
+            n_removed.cast("long").alias("n_removed"),
+            F.round(n_removed / n_lines, 6).alias("frac_removed"),
+        )
+    )
+
+
+def line_dedup_sql(min_docs: int = LINE_DEDUP_MIN_DOCS) -> str:
+    """Oracle: the identical page synthesis, normalization, ownership and
+    indexed-filter rebuild in DuckDB. The oracle groups on the normalized
+    LINE STRING itself where Spark groups on its xxhash64 (transport
+    optimization only) — output equality certifies the keying. DuckDB
+    lambda indexes are 1-based (Spark's are 0-based); each engine's cut
+    positions use its own convention, and positions never leave the
+    engine."""
+    return f"""
+    WITH {_page_cte_sql()},
+    f AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM page),
+    ex AS (
+      SELECT doc_id,
+             unnest(range(1, len(lines) + 1)) AS pos,
+             unnest(lines) AS line
+      FROM f
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS nl
+      FROM ex
+      WHERE regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') <> ''
+    ),
+    dup AS (
+      SELECT nl, min(doc_id) AS owner
+      FROM keyed GROUP BY nl
+      HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    cuts AS (
+      SELECT k.doc_id, list_sort(list(DISTINCT k.pos)) AS cut_pos
+      FROM keyed k JOIN dup d USING (nl)
+      WHERE k.doc_id <> d.owner
+      GROUP BY k.doc_id
+    )
+    SELECT f.doc_id,
+           -- array_to_string of an EMPTY list is NULL in DuckDB but '' in
+           -- Spark's array_join: coalesce the fully-cut-doc case
+           coalesce(array_to_string(
+             list_filter(f.lines,
+               (l, i) -> NOT list_contains(
+                 coalesce(c.cut_pos, CAST([] AS BIGINT[])), i)),
+             chr(10)), '') AS clean_text,
+           CAST(len(f.lines) AS BIGINT) AS n_lines,
+           CAST(len(coalesce(c.cut_pos, CAST([] AS BIGINT[]))) AS BIGINT)
+             AS n_removed,
+           round(len(coalesce(c.cut_pos, CAST([] AS BIGINT[]))) * 1.0
+                 / len(f.lines), 6) AS frac_removed
+    FROM f LEFT JOIN cuts c USING (doc_id)
     """

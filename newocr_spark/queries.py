@@ -517,6 +517,12 @@ def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     return C.c4_clean(C._with_page(load(spark, sf, "documents")))
 
 
+def q_line_dedup(spark, sf):  # CCNet line-level corpus dedup (keep one copy)
+    from .analytics import curation as C
+
+    return C.line_dedup(C._with_page(load(spark, sf, "documents")))
+
+
 def q_gopher_quality(spark, sf):  # Gopher table-A1 quality gate (non-repetition half)
     return T.gopher_quality(T._with_gopher_page(load(spark, sf, "documents")))
 
@@ -676,6 +682,7 @@ QUERIES = {
     "pack_efficiency": q_pack_efficiency,
     "dsir_weights": q_dsir_weights,
     "c4_clean": q_c4_clean,
+    "line_dedup": q_line_dedup,
     "gopher_quality": q_gopher_quality,
     "chunk_windows": q_chunk_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -797,6 +804,7 @@ def _register_curation_oracles() -> None:
     ORACLES["pack_efficiency"] = C.pack_efficiency_sql()
     ORACLES["dsir_weights"] = C.dsir_weights_sql()
     ORACLES["c4_clean"] = C.c4_clean_sql()
+    ORACLES["line_dedup"] = C.line_dedup_sql()
     ORACLES["gopher_quality"] = T.gopher_quality_sql()
     ORACLES["chunk_windows"] = C.chunk_windows_sql()
 

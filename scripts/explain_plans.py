@@ -171,6 +171,16 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "line_dedup": (
+        "CCNet line dedup: lines reduce in-codegen to xxhash64 longs "
+        "before any exchange (text never rides one); one (k64) "
+        "hash-aggregate with map-side partials, one equi-join back, one "
+        "(doc_id) cut-position aggregate, and the rebuild is a JVM "
+        "indexed higher-order filter — no Python, no cross product",
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "ArrowEvalPython",
+         "BatchEvalPython"],
+    ),
     "dedup_keep_best": (
         "quality-aware canonical selection above dup_clusters' "
         "checkpointed labels: one equi-join on doc_id against the "

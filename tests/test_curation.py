@@ -581,3 +581,52 @@ def test_gopher_page_synthesis_classes_fire_expected_rules(spark):
     assert not out[cls == 7].ok_mean_word_len.any()
     normal = out[~cls.isin(range(1, 8))]
     assert normal.keep.all() and len(normal) > 0
+
+
+def test_line_dedup_owner_keeps_copy_others_cut(spark):
+    """CCNet line dedup (Wenzek et al. 2020 §4.1): a banner in >= 2
+    distinct docs is removed everywhere EXCEPT the minimum doc_id; unique
+    lines and empty lines always survive; a line repeated twice within
+    the owner doc passes through verbatim (ownership is per-doc)."""
+    from newocr_spark.analytics.curation import line_dedup
+
+    banner = "Subscribe to our newsletter today"
+    rows = [
+        (1, f"unique alpha one\n{banner}\n{banner}\nunique alpha two"),
+        (2, f"unique beta one\n{banner}\nunique beta two"),
+        (3, f"{banner}\nunique gamma"),
+        (4, "nothing shared here\n\nafter an empty line"),
+        (5, "nothing shared here either"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # owner (doc 1) keeps BOTH copies verbatim
+    assert out[1].clean_text == rows[0][1]
+    assert out[1].n_removed == 0
+    # non-owners lose the banner, keep everything else in order
+    assert out[2].clean_text == "unique beta one\nunique beta two"
+    assert out[2].n_removed == 1
+    assert out[3].clean_text == "unique gamma"
+    assert out[3].n_removed == 1 and out[3].frac_removed == 0.5
+    # empty lines and unique lines untouched
+    assert out[4].clean_text == rows[3][1] and out[4].n_removed == 0
+    assert out[5].clean_text == rows[4][1]
+
+
+def test_line_dedup_normalization_and_full_cut(spark):
+    """Matching is on the NORMALIZED line (lower + trim + whitespace
+    collapse), and a doc that is nothing but someone else's boilerplate
+    cuts to the empty string rather than disappearing."""
+    from newocr_spark.analytics.curation import line_dedup
+
+    rows = [
+        (10, "Cookie   Notice Applies\nreal content ten"),
+        (11, "  cookie notice APPLIES  "),
+        (12, "other real content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[10].n_removed == 0  # owner despite different surface form
+    assert out[11].clean_text == "" and out[11].n_removed == 1
+    assert out[11].frac_removed == 1.0
+    assert out[12].n_removed == 0
