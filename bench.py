@@ -39,7 +39,7 @@ BENCH_QUERIES = (
     "token_counts",
     "repetition_stats", "source_mix", "mixture_weights", "source_overlap",
     "unigram_logprob",
-    "vocab_stats", "quality_buckets", "tfidf_topterms", "bm25_search",
+    "vocab_stats", "quality_buckets", "source_quota", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",
     "pii_scrub", "line_dedup", "decontaminate", "stratified_sample", "pack_sequences",
     "pack_manifest", "pack_bucketed", "pack_efficiency", "dsir_weights",

@@ -1499,3 +1499,80 @@ def gopher_quality_sql() -> str:
             AND n_req >= 2) AS keep
     FROM m
     """
+
+
+SOURCE_QUOTA_K = 10
+
+
+def source_quota(docs: DataFrame, k: int = SOURCE_QUOTA_K) -> DataFrame:
+    """Per-source quality quota: keep (up to) the K best-scoring docs of
+    each source — the cap a corpus owner applies to stop one over-crawled
+    domain from dominating the mixture (the per-domain page-count caps in
+    C4/Gopher-style pipelines), with `unigram_logprob`'s CCNet LM score
+    deciding WHICH pages survive the cap rather than crawl order.
+    (`doc_quality`'s bounded score saturates at 1.0 on clean prose —
+    corpus-wide ties would make the cap vacuous; the LM score's 6-dp
+    values are near-unique.)
+
+    keep is exact-integer rank logic at VALUE granularity: a doc is kept
+    iff strictly fewer than k same-source docs score above its 6-dp
+    logprob — ties share fate (a tie straddling the cap admits the whole
+    tie, documented and deterministic; no RNG tiebreak for two engines to
+    disagree on).
+
+    Output: (doc_id, source, logprob, n_better, keep).
+
+    100 TB shape: the `quality_buckets` histogram discipline applied
+    per source — docs reduce to a (source, logprob) histogram first
+    (6-dp rounding bounds the key space regardless of corpus size), the
+    only ORDER BY window runs over that tiny value frame partitioned by
+    source (never over docs, so a billion-page domain costs the same
+    window as a thousand-page one), and the per-value verdicts broadcast
+    back onto the doc frame. No global or per-source sort of docs
+    anywhere."""
+    lp = unigram_logprob(docs).select("doc_id", "logprob")
+    scored = docs.select("doc_id", "source").join(lp, "doc_id")
+    vals = scored.groupBy("source", "logprob").agg(F.count("*").alias("cnt"))
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("logprob"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = vals.select(
+        "source",
+        "logprob",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_better"),
+    )
+    return scored.join(F.broadcast(ranked), ["source", "logprob"]).select(
+        "doc_id",
+        "source",
+        "logprob",
+        F.col("n_better").cast("long").alias("n_better"),
+        (F.col("n_better") < k).alias("keep"),
+    )
+
+
+def source_quota_sql(k: int = SOURCE_QUOTA_K) -> str:
+    """Oracle: the identical per-source value histogram and rank rule."""
+    return f"""
+    WITH lp AS ({unigram_logprob_sql()}),
+    scored AS (
+      SELECT d.doc_id, d.source, lp.logprob
+      FROM documents d JOIN lp USING (doc_id)
+    ),
+    vals AS (
+      SELECT source, logprob, count(*) AS cnt
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, logprob,
+             sum(cnt) OVER (PARTITION BY source
+                            ORDER BY logprob DESC
+                            ROWS UNBOUNDED PRECEDING) - cnt AS n_better
+      FROM vals
+    )
+    SELECT s.doc_id, s.source, s.logprob,
+           CAST(r.n_better AS BIGINT) AS n_better,
+           r.n_better < {k} AS keep
+    FROM scored s JOIN ranked r USING (source, logprob)
+    """

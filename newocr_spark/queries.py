@@ -517,6 +517,10 @@ def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     return C.c4_clean(C._with_page(load(spark, sf, "documents")))
 
 
+def q_source_quota(spark, sf):  # per-source quality cap (top-k, ties share fate)
+    return T.source_quota(load(spark, sf, "documents"))
+
+
 def q_line_dedup(spark, sf):  # CCNet line-level corpus dedup (keep one copy)
     from .analytics import curation as C
 
@@ -683,6 +687,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "c4_clean": q_c4_clean,
     "line_dedup": q_line_dedup,
+    "source_quota": q_source_quota,
     "gopher_quality": q_gopher_quality,
     "chunk_windows": q_chunk_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -745,6 +750,7 @@ ORACLES = {
     "dedup_clusters": D.dup_clusters_sql(0.5),
     "dedup_keep_best": D.keep_best_in_cluster_sql(0.5),
     "lang_id": T.lang_id_sql(),
+    "source_quota": T.source_quota_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),
     "token_counts": T.token_counts_sql(),

@@ -171,6 +171,14 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "source_quota": (
+        "per-source cap via the value-histogram discipline: docs reduce "
+        "to a (source, quality_score) histogram before the ONLY window, "
+        "which runs over distinct values partitioned by source — never "
+        "over docs; verdicts broadcast back onto the doc frame",
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "line_dedup": (
         "CCNet line dedup: lines reduce in-codegen to xxhash64 longs "
         "before any exchange (text never rides one); one (k64) "

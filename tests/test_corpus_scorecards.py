@@ -202,3 +202,36 @@ def test_winnow_fingerprints_short_doc_edges(spark):
     assert 1 not in out                 # < k tokens: no k-grams, no rows
     assert len(out[2]) == 1             # m=1 < w: one window over all
     assert len(out[3]) == 1             # m=2 < w: window min collapses
+
+
+def test_source_quota_caps_by_lm_score_with_tie_fate(spark):
+    """Per-source cap: the k best LM-scoring docs keep per source, ties
+    straddling the cap share fate (all admitted), and the window never
+    ranks across sources. Corpus unigram counts: 'the' x6, the rare*
+    tokens x1, src_b's shared sentence tokens x2 — so within src_a the
+    ordering is doc 1 (all common) > doc 2 > docs 3 == 4 (all-hapax tie),
+    and src_b's identical docs tie exactly."""
+    from newocr_spark.analytics.textstats import source_quota
+
+    rows = [
+        (1, "the the the the", "src_a"),
+        (2, "the the rare1", "src_a"),
+        (3, "rare2 rare3", "src_a"),
+        (4, "rare4 rare5 rare6", "src_a"),
+        (5, "same words here exactly", "src_b"),
+        (6, "same words here exactly", "src_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.doc_id: r for r in source_quota(docs, k=2).collect()}
+    kept_a = sorted(d for d in (1, 2, 3, 4) if out[d].keep)
+    assert kept_a == [1, 2]
+    assert out[3].n_better == 2 and out[4].n_better == 2  # hapax tie
+    assert out[3].logprob == out[4].logprob
+    # src_b identical docs tie at rank 0; k=1 admits BOTH (ties share fate)
+    out1 = {r.doc_id: r for r in source_quota(docs, k=1).collect()}
+    assert out1[5].keep and out1[6].keep
+    assert out1[5].n_better == 0 and out1[6].n_better == 0
+    assert sum(out1[d].keep for d in (1, 2, 3, 4)) == 1  # only doc 1
+    # k=3 straddles the src_a hapax tie: both 3 and 4 admitted
+    out3 = {r.doc_id: r for r in source_quota(docs, k=3).collect()}
+    assert out3[3].keep and out3[4].keep
