@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "clean lines (assumes web-page text with punctuation)",
     )
     p.add_argument(
+        "--line-dedup", action="store_true",
+        help="cut corpus-duplicated lines (CCNet-style, curation.line_dedup) "
+        "from every surviving doc except each line's minimum-doc_id owner; "
+        "docs cut to nothing drop. Runs after selection (it is corpus-"
+        "state-dependent, so it must not feed signatures or DSIR weights) "
+        "and before the PII scrub",
+    )
+    p.add_argument(
         "--gopher-gate", action="store_true",
         help="drop pages failing the Gopher table-A1 quality rules "
         "(textstats.gopher_quality) right after the C4 stage (assumes "
@@ -322,6 +330,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             .select("doc_id")
         )
         kept = kept.join(selected, "doc_id", "left_semi")
+
+    # 2f. CCNet line-level boilerplate cut (opt-in): remove lines that
+    # appear in >= 2 distinct surviving docs from every doc but each
+    # line's minimum-doc_id owner. Runs HERE — after the band-index write
+    # and DSIR (both must see per-doc-deterministic text: this stage's
+    # output depends on corpus state, so a re-crawled doc would otherwise
+    # sign/weigh differently depending on what else was in the batch) and
+    # before the scrub/pack rewrites. Docs the cut empties drop, as in
+    # crossdoc cut mode; already-empty docs stay.
+    if args.line_dedup:
+        ld = C.line_dedup(kept).select(
+            "doc_id", F.col("clean_text").alias("_ld_text"), "n_removed"
+        )
+        kept = (
+            kept.join(ld, "doc_id")
+            .filter(
+                (F.col("n_removed") == 0)
+                | (F.length(F.trim("_ld_text")) > 0)
+            )
+            .drop("text", "n_removed")
+            .withColumnRenamed("_ld_text", "text")
+        )
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

@@ -303,3 +303,51 @@ def test_curate_job_gopher_gate_drops_violating_pages(spark, tmp_path):
     # single-char spam)
     for cls in range(1, 8):
         assert df.filter(F.pmod(F.col("doc_id"), F.lit(53)) == cls).count() == 0, cls
+
+
+def test_curate_job_line_dedup_cuts_boilerplate_lines(spark, tmp_path):
+    """--line-dedup removes corpus-duplicated LINES (CCNet-style) while
+    keeping each line's minimum-doc_id owner copy: the banner survives in
+    at most one output doc (the owner, if sampling keeps it), every other
+    doc keeps only its unique lines, and a doc that was nothing but the
+    banner drops."""
+    banner = "subscribe to our newsletter for daily updates"
+    rows = []
+    for i in range(20):
+        unique = " ".join(f"u{i}w{j}" for j in range(10))
+        text = f"{banner}\n{unique}" if i % 2 == 0 else unique
+        rows.append((i, text, "en", "web", len(text)))
+    rows.append((100, banner, "en", "web", len(banner)))  # banner-only doc
+    src = str(tmp_path / "docs_ld")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(src)
+
+    import curate_job
+
+    def run(name, *extra):
+        out = str(tmp_path / name)
+        n = curate_job.main(
+            ["--documents", src, "--output", out, "--shards", "2",
+             "--benchmark-mod", "0", "--no-repetition-gate",
+             "--no-crossdoc-gate", *extra],
+            spark=spark,
+        )
+        return n, out
+
+    _, out_off = run("ld_off")
+    n_on, out_on = run("ld_on", "--line-dedup")
+    off_txt = {r.doc_id: r.text for r in spark.read.parquet(out_off).collect()}
+    on_txt = {r.doc_id: r.text for r in spark.read.parquet(out_on).collect()}
+    # without the stage the banner rides along in every even doc sampled in
+    assert sum(banner in t for t in off_txt.values()) > 1
+    # with it: at most the owner copy survives, never a non-owner's
+    holders = [d for d, t in on_txt.items() if banner in t]
+    assert len(holders) <= 1
+    assert all(d == min(off_txt) or d == holders[0] for d in holders)
+    # the banner-only doc is cut to nothing and dropped
+    assert 100 not in on_txt
+    # unique lines pass through untouched
+    for d, t in on_txt.items():
+        if d not in holders:
+            assert banner not in t and f"u{d}w0" in t
