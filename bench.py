@@ -37,7 +37,7 @@ BENCH_QUERIES = (
     "dedup_keep_best", "incremental_neardup",
     "lang_id", "doc_quality", "fingerprints", "winnow_fingerprints",
     "token_counts",
-    "repetition_stats", "source_mix", "mixture_weights", "source_overlap",
+    "repetition_stats", "source_mix", "source_kl", "mixture_weights", "source_overlap",
     "unigram_logprob",
     "vocab_stats", "quality_buckets", "source_quota", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",

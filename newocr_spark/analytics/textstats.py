@@ -1576,3 +1576,83 @@ def source_quota_sql(k: int = SOURCE_QUOTA_K) -> str:
            r.n_better < {k} AS keep
     FROM scored s JOIN ranked r USING (source, logprob)
     """
+
+
+def source_kl(docs: DataFrame) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source || P_corpus) over unigram
+    distributions, in nats — the single-number "how far is this source's
+    token distribution from the mixture" panel a corpus owner reads next
+    to `source_mix` and `vocab_stats` before setting mixing weights
+    (domain-shift measurement via token-distribution KL is the standard
+    check in data-selection work, e.g. the importance-weight denominators
+    in DSIR, Xie et al. 2023). A templated or machine-generated source
+    shows high KL (mass on few tokens); a source matching the mixture
+    shows ~0.
+
+    KL is exact (no smoothing needed): every source token is in the
+    corpus vocabulary by construction, so P_corpus > 0 wherever
+    P_source > 0.
+
+    Output: (source, n_tokens, n_types, kl_nats) — 6-dp rounded.
+
+    100 TB shape: tokens reduce to (source, tok) counts FIRST (one
+    hash-aggregate with map-side partials — the `vocab_stats` shape);
+    the corpus vocabulary derives from that same reduced frame, joins
+    back on tok (stopword skew carries one row per distinct pair, not
+    per occurrence), and per-source sums + the single-row corpus total
+    ride broadcasts. Text never rides an exchange; no window, no sort."""
+    st = (
+        docs.select(
+            "source", F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c_st"))
+    )
+    vocab = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    stot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = vocab.agg(F.sum("c_t").alias("n"))
+    return (
+        st.join(vocab, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(
+                F.sum(
+                    (F.col("c_st") / F.col("n_s"))
+                    * F.log(
+                        (F.col("c_st") / F.col("n_s"))
+                        / (F.col("c_t") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("kl_nats"),
+        )
+    )
+
+
+def source_kl_sql() -> str:
+    """Oracle: identical (source, tok) reduction and exact KL in DuckDB."""
+    return """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+    stot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+    tot AS (SELECT sum(c_t) AS n FROM vocab)
+    SELECT st.source,
+           CAST(any_value(stot.n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum((st.c_st * 1.0 / stot.n_s)
+                     * ln((st.c_st * 1.0 / stot.n_s)
+                          / (vocab.c_t * 1.0 / tot.n))), 6) AS kl_nats
+    FROM st
+    JOIN vocab USING (tok)
+    JOIN stot USING (source), tot
+    GROUP BY st.source
+    """

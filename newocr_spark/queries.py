@@ -517,6 +517,10 @@ def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     return C.c4_clean(C._with_page(load(spark, sf, "documents")))
 
 
+def q_source_kl(spark, sf):  # per-source unigram KL drift vs the corpus
+    return T.source_kl(load(spark, sf, "documents"))
+
+
 def q_source_quota(spark, sf):  # per-source quality cap (top-k, ties share fate)
     return T.source_quota(load(spark, sf, "documents"))
 
@@ -688,6 +692,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "line_dedup": q_line_dedup,
     "source_quota": q_source_quota,
+    "source_kl": q_source_kl,
     "gopher_quality": q_gopher_quality,
     "chunk_windows": q_chunk_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -751,6 +756,7 @@ ORACLES = {
     "dedup_keep_best": D.keep_best_in_cluster_sql(0.5),
     "lang_id": T.lang_id_sql(),
     "source_quota": T.source_quota_sql(),
+    "source_kl": T.source_kl_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),
     "token_counts": T.token_counts_sql(),

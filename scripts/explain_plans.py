@@ -171,6 +171,14 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "source_kl": (
+        "per-source KL drift: ONE (source, tok) hash-aggregate with "
+        "map-side partials, vocab derived from the same reduced frame "
+        "and equi-joined on tok; per-source totals and the corpus total "
+        "ride broadcasts — no window, no sort, text never shuffles",
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "Window"],
+    ),
     "source_quota": (
         "per-source cap via the value-histogram discipline: docs reduce "
         "to a (source, quality_score) histogram before the ONLY window, "

@@ -235,3 +235,31 @@ def test_source_quota_caps_by_lm_score_with_tie_fate(spark):
     # k=3 straddles the src_a hapax tie: both 3 and 4 admitted
     out3 = {r.doc_id: r for r in source_quota(docs, k=3).collect()}
     assert out3[3].keep and out3[4].keep
+
+
+def test_source_kl_zero_for_matching_source_positive_for_skewed(spark):
+    """KL(P_s || P_corpus) is ~0 when a source's token distribution
+    matches the mixture and strictly positive when it concentrates mass;
+    hand-checked against the closed form on a tiny corpus."""
+    import math
+
+    from newocr_spark.analytics.textstats import source_kl
+
+    # two sources with IDENTICAL distributions -> corpus == each -> KL 0
+    rows = [
+        (1, "aa bb cc dd", "s1"),
+        (2, "aa bb cc dd", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.source: r for r in source_kl(docs).collect()}
+    assert out["s1"].kl_nats == 0.0 and out["s2"].kl_nats == 0.0
+    assert out["s1"].n_tokens == 4 and out["s1"].n_types == 4
+
+    # skewed source: s1 = {aa:2}, s2 = {aa:1, bb:1}; corpus = {aa:3, bb:1}
+    # KL(s1) = 1*ln(1/(3/4)) = ln(4/3); KL(s2) = .5*ln(.5/.75)+.5*ln(.5/.25)
+    rows = [(1, "aa aa", "s1"), (2, "aa bb", "s2")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.source: r for r in source_kl(docs).collect()}
+    assert abs(out["s1"].kl_nats - round(math.log(4 / 3), 6)) < 1e-9
+    expect_s2 = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert abs(out["s2"].kl_nats - round(expect_s2, 6)) < 1e-9
