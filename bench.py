@@ -41,7 +41,8 @@ BENCH_QUERIES = (
     "unigram_logprob",
     "vocab_stats", "quality_buckets", "source_quota", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut",
-    "pii_scrub", "line_dedup", "decontaminate", "stratified_sample", "pack_sequences",
+    "pii_scrub", "line_dedup", "decontaminate", "decon_report",
+    "lang_confusion", "stratified_sample", "pack_sequences",
     "pack_manifest", "pack_bucketed", "pack_efficiency", "dsir_weights",
     "c4_clean", "gopher_quality", "chunk_windows",
     "embed_neardup", "embed_lsh_neardup", "cosine_topk", "ann_lsh", "ann_ivf",

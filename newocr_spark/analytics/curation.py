@@ -216,6 +216,74 @@ def decontaminate_sql(
     """
 
 
+def decon_report(
+    docs: DataFrame, n: int = 8, min_overlap: int = 3, bench_mod: int = 53
+) -> DataFrame:
+    """Decontamination ATTRIBUTION: per (training doc, benchmark doc)
+    pair, how many distinct n-gram shingles they share — the report an
+    eval owner actually reads ("which eval items leaked, and where")
+    before deciding whether a hit is verbatim leakage or a shared
+    idiom. `decontaminate` answers "drop this doc?"; this answers "drop
+    WHY" — published contamination studies (GPT-3 appendix C, the
+    PaLM/Llama overlap analyses) report exactly this per-benchmark
+    breakdown.
+
+    Output: (doc_id, bench_id, n_overlap) with n_overlap >= min_overlap
+    — n_overlap counts DISTINCT shared shingles per pair (each side's
+    shingle set is already distinct, so the pair join yields one row per
+    shared shingle). The per-PAIR threshold is stricter than
+    `decontaminate`'s per-doc total: a doc spreading its overlap thinly
+    across many bench docs can be flagged there yet have no single pair
+    reach min_overlap here — by design (attribution answers "which eval
+    doc", and a sub-threshold pair is not evidence against any one).
+
+    100 TB shape: identical to `decontaminate` — the benchmark side now
+    carries (bench_id, shingle) instead of bare shingles, still small by
+    definition (eval suites), still distinct + broadcast; the corpus side
+    is the same narrow shingle map + broadcast equi-join, never a
+    self-join. The only growth is the per-pair aggregate key (doc_id,
+    bench_id), bounded by hits x eval size."""
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench_sh = (
+        _shingles(docs.filter(is_bench), n)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    train_sh = _shingles(docs.filter(~is_bench), n)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select("doc_id", "bench_id", "n_overlap")
+    )
+
+
+def decon_report_sql(
+    n: int = 8,
+    min_overlap: int = 3,
+    bench_mod: int = 53,
+    contaminated: bool = False,
+) -> str:
+    """Oracle; contaminated=True runs over the `_with_contamination`
+    reconstruction (the registered contract query's input)."""
+    if contaminated:
+        pre = f"injected AS ({contamination_sql(bench_mod)}), "
+        src = "injected"
+    else:
+        pre, src = "", "documents"
+    return f"""
+    WITH {pre}sh AS ({shingles_sql(n, src)}),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+              WHERE doc_id % {bench_mod} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {bench_mod} != 0)
+    SELECT t.doc_id, b.bench_id, count(*) AS n_overlap
+    FROM train t JOIN bench b ON b.shingle = t.shingle
+    GROUP BY t.doc_id, b.bench_id
+    HAVING count(*) >= {min_overlap}
+    """
+
+
 # per-language keep rates for the sampling demo (the mechanism, not the
 # policy: a real pipeline reads these from a config/dim table)
 SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}

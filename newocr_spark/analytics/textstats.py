@@ -1656,3 +1656,59 @@ def source_kl_sql() -> str:
     JOIN stot USING (source), tot
     GROUP BY st.source
     """
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-label audit: confusion matrix between the corpus's
+    DECLARED `lang` column (crawl metadata — HTTP headers, HTML lang
+    attributes, upstream tags) and `lang_id`'s content-based prediction.
+    Mislabeled slices are a classic corpus defect (a "de" shard full of
+    English boilerplate), and the per-(declared, predicted) counts with
+    within-declared-language rates are the table an owner reads to decide
+    which labels to trust before language-stratified sampling or
+    per-language mixing.
+
+    Output: (lang, lang_pred, n_docs, frac_of_lang) — frac_of_lang is
+    the row's share of its declared language, 6-dp.
+
+    100 TB shape: lang_id is a narrow in-codegen projection (stopword
+    intersections + a literal CASE fold); the matrix is ONE (lang,
+    lang_pred) hash-aggregate with map-side partials over label-pair
+    cardinality (languages²), and the per-language denominators ride a
+    broadcast equi-join on the tiny matrix itself — text never shuffles,
+    no window, no sort."""
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    labeled = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cm = labeled.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    per_lang = cm.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cm.join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_lang"), 6).alias(
+                "frac_of_lang"
+            ),
+        )
+    )
+
+
+def lang_confusion_sql() -> str:
+    """Oracle: lang_id's SQL fold joined back to the declared labels."""
+    return f"""
+    WITH pred AS ({lang_id_sql()}),
+    labeled AS (
+      SELECT d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cm AS (
+      SELECT lang, lang_pred, count(*) AS n_docs
+      FROM labeled GROUP BY 1, 2
+    ),
+    per_lang AS (SELECT lang, sum(n_docs) AS n_lang FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.lang_pred, CAST(cm.n_docs AS BIGINT) AS n_docs,
+           round(cm.n_docs * 1.0 / per_lang.n_lang, 6) AS frac_of_lang
+    FROM cm JOIN per_lang USING (lang)
+    """

@@ -517,8 +517,18 @@ def q_c4_clean(spark, sf):  # C4-style line filter + page rules
     return C.c4_clean(C._with_page(load(spark, sf, "documents")))
 
 
+def q_lang_confusion(spark, sf):  # declared-vs-predicted language audit
+    return T.lang_confusion(load(spark, sf, "documents"))
+
+
 def q_source_kl(spark, sf):  # per-source unigram KL drift vs the corpus
     return T.source_kl(load(spark, sf, "documents"))
+
+
+def q_decon_report(spark, sf):  # per (train, bench) contamination attribution
+    from .analytics import curation as C
+
+    return C.decon_report(C._with_contamination(load(spark, sf, "documents")))
 
 
 def q_source_quota(spark, sf):  # per-source quality cap (top-k, ties share fate)
@@ -683,6 +693,7 @@ QUERIES = {
     "crossdoc_cut": q_crossdoc_cut,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
+    "decon_report": q_decon_report,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
@@ -693,6 +704,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "source_quota": q_source_quota,
     "source_kl": q_source_kl,
+    "lang_confusion": q_lang_confusion,
     "gopher_quality": q_gopher_quality,
     "chunk_windows": q_chunk_windows,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -757,6 +769,7 @@ ORACLES = {
     "lang_id": T.lang_id_sql(),
     "source_quota": T.source_quota_sql(),
     "source_kl": T.source_kl_sql(),
+    "lang_confusion": T.lang_confusion_sql(),
     "doc_quality": T.doc_quality_sql(),
     "fingerprints": T.fingerprints_sql(),
     "token_counts": T.token_counts_sql(),
@@ -803,6 +816,7 @@ def _register_curation_oracles() -> None:
 
     ORACLES["pii_scrub"] = C.pii_scrub_sql()
     ORACLES["decontaminate"] = C.decontaminate_sql(contaminated=True)
+    ORACLES["decon_report"] = C.decon_report_sql(contaminated=True)
     ORACLES["crossdoc_substr"] = T.crossdoc_substrings_sql(
         docs_cte=C.contamination_sql()
     )

@@ -171,6 +171,21 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "decon_report": (
+        "attribution keeps decontaminate's shape: the (bench_id, "
+        "shingle) side is distinct + broadcast, the corpus side is one "
+        "narrow shingle map + broadcast equi-join + one (doc_id, "
+        "bench_id) hash-aggregate — the corpus never self-joins",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "lang_confusion": (
+        "lang_id is a narrow in-codegen projection; the matrix is ONE "
+        "(lang, lang_pred) hash-aggregate over languages^2 keys and the "
+        "denominators ride a broadcast join on the tiny matrix itself",
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "Window", "SortMergeJoin"],
+    ),
     "source_kl": (
         "per-source KL drift: ONE (source, tok) hash-aggregate with "
         "map-side partials, vocab derived from the same reduced frame "

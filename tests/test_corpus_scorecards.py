@@ -263,3 +263,27 @@ def test_source_kl_zero_for_matching_source_positive_for_skewed(spark):
     assert abs(out["s1"].kl_nats - round(math.log(4 / 3), 6)) < 1e-9
     expect_s2 = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
     assert abs(out["s2"].kl_nats - round(expect_s2, 6)) < 1e-9
+
+
+def test_lang_confusion_diagonal_and_mislabeled_slice(spark):
+    """Correctly-labeled docs land on the diagonal; a 'de'-labeled slice
+    full of English stopwords shows up as the (de, en) off-diagonal cell
+    with the right within-language rate."""
+    from newocr_spark.analytics.textstats import lang_confusion
+
+    en = "the of and to in is was"
+    de = "der die und das ist nicht ein"
+    rows = (
+        [(i, en, "en") for i in range(4)]
+        + [(10 + i, de, "de") for i in range(2)]
+        + [(20 + i, en, "de") for i in range(2)]  # mislabeled shard
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {(r.lang, r.lang_pred): r for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")].n_docs == 4
+    assert out[("en", "en")].frac_of_lang == 1.0
+    assert out[("de", "de")].n_docs == 2
+    assert out[("de", "en")].n_docs == 2
+    assert out[("de", "de")].frac_of_lang == 0.5
+    assert out[("de", "en")].frac_of_lang == 0.5
+    assert ("en", "de") not in out

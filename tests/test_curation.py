@@ -630,3 +630,35 @@ def test_line_dedup_normalization_and_full_cut(spark):
     assert out[11].clean_text == "" and out[11].n_removed == 1
     assert out[11].frac_removed == 1.0
     assert out[12].n_removed == 0
+
+
+def test_decon_report_attributes_leak_to_the_right_bench_doc(spark):
+    """Attribution must name the exact benchmark doc whose quote leaked:
+    the injection plants bench doc (doc_id%10)*53's first 16 tokens into
+    docs with doc_id%7==3, so every reported (doc_id, bench_id) pair must
+    satisfy that arithmetic, agree with decontaminate's flag set, and
+    carry n_overlap >= 3."""
+    from newocr_spark.analytics.curation import (
+        _with_contamination, decon_report, decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    injected = _with_contamination(docs)
+    rep = decon_report(injected).collect()
+    assert len(rep) > 0
+    by_doc = {}
+    for r in rep:
+        assert r.bench_id % 53 == 0  # attribution targets bench docs only
+        assert r.n_overlap >= 3
+        by_doc.setdefault(r.doc_id, set()).add(r.bench_id)
+    # every INJECTED doc's attribution includes its true planted source
+    # (the corpus also contains natural near-dups of bench docs — e.g.
+    # doc 50 ~ doc 0 — which are legitimately flagged and attributed, so
+    # the report is a superset keyed by real shingle overlap, and its
+    # doc set must equal decontaminate's flag set exactly)
+    injected_flagged = [d for d in by_doc if d % 7 == 3]
+    assert injected_flagged
+    for d in injected_flagged:
+        assert (d % 10) * 53 in by_doc[d]
+    flagged = {r.doc_id for r in decontaminate(injected).collect()}
+    assert set(by_doc) == flagged
