@@ -474,3 +474,170 @@ SELECT printf('doc-%06d', doc_id) AS doc_id,
          AS "offset"
 FROM items WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML: data-table extraction
+# ---------------------------------------------------------------------------
+
+
+def _tables_of(root) -> list:
+    """All <table> elements in document order (nested included)."""
+    out = []
+
+    def walk(el):
+        for ch in el.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "table":
+                out.append(ch)
+            walk(ch)
+
+    walk(root)
+    return out
+
+
+def _is_data_table(tbl) -> bool:
+    """DATA iff the table carries at least one <th> cell and no nested
+    <table> — the classic layout/data heuristic (layout grids of the
+    table-era web wrap other tables and never declare header cells;
+    content tables do the reverse). Class names are deliberately NOT
+    consulted: crawled markup lies about those far more often than about
+    structure."""
+    has_th = False
+    for ch in tbl.children:
+        stack = [ch]
+        while stack:
+            el = stack.pop()
+            if isinstance(el, str):
+                continue
+            if el.tag == "table":
+                return False
+            if el.tag == "th":
+                has_th = True
+            stack.extend(el.children)
+    return has_th
+
+
+def _el_text(el) -> str:
+    """Whitespace-normalized text of a subtree."""
+    parts = []
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            parts.append(node)
+        else:
+            stack.extend(reversed(node.children))
+    return " ".join("".join(parts).split())
+
+
+def _table_cells(tbl):
+    """Yield (row_idx, col_idx, is_header, text) over the table's OWN
+    rows (a data table has no nested tables by classification, so every
+    descendant tr/td/th belongs to it; thead/tbody wrappers are
+    transparent)."""
+    rows = []
+
+    def walk(el):
+        for ch in el.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "tr":
+                rows.append(ch)
+            else:
+                walk(ch)
+
+    walk(tbl)
+    for ri, tr in enumerate(rows):
+        ci = 0
+        for ch in tr.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag in ("td", "th"):
+                yield ri, ci, ch.tag == "th", _el_text(ch)
+                ci += 1
+
+
+def q_html_tables(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Structured data-table extraction: synthesize the table-fixture page
+    (one data table buried in two layout tables — htmlgen.table_page_html),
+    parse the real DOM, classify data vs layout tables by structure (th
+    present, no nested table), and emit every data cell as a typed row —
+    the table-to-rows path a training pipeline runs to turn crawled HTML
+    tables into structured records.
+
+    Output: (doc_id, table_idx, row_idx, col_idx, is_header, cell) —
+    table_idx indexes DATA tables in document order.
+
+    100 TB shape: one narrow mapInPandas over the pruned (doc_id, text)
+    scan, exactly like the other extractors — no shuffle in the plan; the
+    fan-out (cells per page) happens inside the Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .dom import parse_html
+        from .htmlgen import table_page_html
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                root = parse_html(table_page_html(did, text))
+                tidx = 0
+                for tbl in _tables_of(root):
+                    if not _is_data_table(tbl):
+                        continue
+                    for ri, ci, is_h, cell in _table_cells(tbl):
+                        rows.append(
+                            (f"doc-{did:06d}", tidx, ri, ci, is_h, cell)
+                        )
+                    tidx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "table_idx", "row_idx", "col_idx",
+                    "is_header", "cell",
+                ],
+            )
+
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
+        run,
+        "doc_id string, table_idx int, row_idx int, col_idx int, "
+        "is_header boolean, cell string",
+    )
+
+
+def html_tables_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    """Oracle: rebuild the one data table's cells from the same
+    (doc_id, text) arithmetic — header row 'c0..c2' at row 0, then
+    2 + doc_id % 3 token-derived rows (htmlgen.table_rows_of). Both
+    layout tables must contribute NOTHING, so any layout cell the
+    extractor leaks turns the compare red."""
+    from .htmlgen import TABLE_COLS
+
+    cols = list(range(TABLE_COLS))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id < {max_docs}
+),
+hdr AS (
+  SELECT doc_id, 0 AS row_idx, c AS col_idx, TRUE AS is_header,
+         'c' || c AS cell
+  FROM docs, unnest({cols}) AS u(c)
+),
+body AS (
+  SELECT doc_id, r AS row_idx, c AS col_idx, FALSE AS is_header,
+         words[(((r - 1) * {TABLE_COLS} + c) % len(words)) + 1] AS cell
+  FROM docs,
+       unnest(range(1, 2 + doc_id % 3 + 1)) AS ur(r),
+       unnest({cols}) AS uc(c)
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id, 0 AS table_idx,
+       CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       is_header, cell
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body)
+"""

@@ -182,3 +182,61 @@ def _page_html_semantic(doc_id: int, text: str) -> str:
 <ul class="footer-links"><li><a href="/tos">Terms</a></li><li><a href="/privacy">Privacy</a></li></ul>
 </footer>
 </body></html>"""
+
+
+TABLE_COLS = 3
+
+
+def table_rows_of(doc_id: int, text: str) -> list[list[str]]:
+    """Data-table body for the table-extraction fixture: 2 + doc_id % 3
+    rows × TABLE_COLS cells drawn deterministically from the doc's own
+    tokens — mirrored cell-for-cell by the SQL oracle."""
+    words = text.split(" ")
+    n_rows = 2 + doc_id % 3
+    return [
+        [words[(r * TABLE_COLS + c) % len(words)] for c in range(TABLE_COLS)]
+        for r in range(n_rows)
+    ]
+
+
+def table_page_html(doc_id: int, text: str) -> str:
+    """Page for the table-extraction fixture: a 1998-style LAYOUT table
+    (nested tables, no <th>) whose menu cell also holds an inner layout
+    table, and whose content cell holds the one DATA table (header row of
+    <th> + token-derived body). A correct extractor must emit exactly the
+    data table's cells and nothing from either layout table."""
+    e = lambda s: _html.escape(s, quote=False)
+    header = "".join(f"<th>c{c}</th>" for c in range(TABLE_COLS))
+    body = "\n".join(
+        "<tr>" + "".join(f"<td>{e(cell)}</td>" for cell in row) + "</tr>"
+        for row in table_rows_of(doc_id, text)
+    )
+    menu = "\n".join(
+        f'<li><a href="/cat/{(doc_id + k) % 40}">{_junk_words(doc_id, 80 + k, 2)}</a></li>'
+        for k in range(4)
+    )
+    inner_layout = (
+        '<table class="inner-layout"><tr>'
+        f"<td>{_junk_words(doc_id, 90, 3)}</td>"
+        '<td><a href="#">more</a></td>'
+        "</tr></table>"
+    )
+    return f"""<html><head><title>Table report {doc_id:06d}</title></head>
+<body>
+<table class="layout" width="100%"><tr>
+<td class="menu-cell" valign="top">
+<ul>
+{menu}
+</ul>
+{inner_layout}
+</td>
+<td valign="top">
+<h1>Table report {doc_id:06d}</h1>
+<table class="data">
+<tr>{header}</tr>
+{body}
+</table>
+</td>
+</tr></table>
+<div class="footer-links"><a href="/tos">Terms</a> &copy; 2026</div>
+</body></html>"""

@@ -171,6 +171,13 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "html_tables": (
+        "data-table extraction is ONE narrow MapInPandas over the pruned "
+        "(doc_id, text) scan — zero exchanges; the cell fan-out happens "
+        "inside the Arrow batch",
+        ["MapInPandas"],
+        ["Exchange"],
+    ),
     "decon_report": (
         "attribution keeps decontaminate's shape: the (bench_id, "
         "shingle) side is distinct + broadcast, the corpus side is one "

@@ -349,3 +349,57 @@ def test_metadata_fixture_templates_both_ways():
         else:
             assert md["author"] == f"user{doc_id % 23}"
             assert md["published"] == f"2026-02-{1 + doc_id % 28:02d}"
+
+
+def test_html_tables_classifier_data_vs_layout():
+    """Structure-only classification: a table is DATA iff it has a <th>
+    and no nested table — class names are never consulted. thead/tbody
+    wrappers are transparent; layout grids (nested tables / no header
+    cells) contribute nothing."""
+    from newocr_spark.web.dom import parse_html
+    from newocr_spark.web.extract import _is_data_table, _table_cells, _tables_of
+
+    html = """
+    <table class="data-looking"><tr><td>menu</td><td>
+      <table><thead><tr><th>name</th><th>qty</th></tr></thead>
+      <tbody><tr><td>bolt</td><td>7</td></tr>
+             <tr><td>nut &amp; washer</td><td>12</td></tr></tbody></table>
+    </td></tr></table>
+    <table class="layout"><tr><td>no header cells here</td></tr></table>
+    """
+    tables = _tables_of(parse_html(html))
+    assert len(tables) == 3
+    flags = [_is_data_table(t) for t in tables]
+    # outer wrapper nests a table (not data, despite the class); the inner
+    # one is data; the th-less grid is layout
+    assert flags == [False, True, False]
+    cells = list(_table_cells(tables[1]))
+    assert cells == [
+        (0, 0, True, "name"), (0, 1, True, "qty"),
+        (1, 0, False, "bolt"), (1, 1, False, "7"),
+        (2, 0, False, "nut & washer"), (2, 1, False, "12"),
+    ]
+
+
+def test_html_tables_fixture_extracts_only_the_data_table(spark):
+    """End-to-end over the synthesized fixture page: exactly one data
+    table per doc, header row c0..c2, 2 + doc_id % 3 body rows drawn from
+    the doc's tokens, and nothing from either layout table (menu words,
+    footer links)."""
+    from newocr_spark.web.extract import q_html_tables
+
+    out = q_html_tables(spark, "/root/testdata/sf0.001", max_docs=12).toPandas()
+    assert set(out.table_idx) == {0}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.filter("doc_id < 12").collect()}
+    for did, text in texts.items():
+        words = text.split(" ")
+        mine = out[out.doc_id == f"doc-{did:06d}"]
+        n_rows = 2 + did % 3
+        assert len(mine) == 3 * (1 + n_rows)
+        hdr = mine[mine.is_header]
+        assert sorted(hdr.cell) == ["c0", "c1", "c2"]
+        body = mine[~mine.is_header]
+        for _, r in body.iterrows():
+            assert r.cell == words[((r.row_idx - 1) * 3 + r.col_idx) % len(words)]
+        assert not any(c in set(mine.cell) for c in ("Terms", "more"))
