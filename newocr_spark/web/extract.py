@@ -641,3 +641,140 @@ SELECT printf('doc-%06d', doc_id) AS doc_id, 0 AS table_idx,
        is_header, cell
 FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body)
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML: link / anchor-text extraction
+# ---------------------------------------------------------------------------
+
+
+def _anchors_of(root):
+    """(href, anchor_text) for every <a href=...> in document order."""
+    out = []
+
+    def walk(el):
+        for ch in el.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "a" and "href" in ch.attrs:
+                out.append((ch.attrs["href"], _el_text(ch)))
+            walk(ch)
+
+    walk(root)
+    return out
+
+
+def q_html_links(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Link extraction: every <a href> with its anchor text, in document
+    order, from the SAME synthesized pages the boilerplate stack parses —
+    the edge list an anchor-text corpus or link-graph build consumes
+    (anchor text is a first-class training signal: it describes the
+    TARGET page, and crawl pipelines harvest it alongside main text).
+
+    Output: (doc_id, link_idx, href, anchor).
+
+    The oracle enumerates the complete closed-form anchor inventory of
+    both page templates — nav/breadcrumbs/sidebar/ads/byline/footer for
+    the semantic skeleton, topbar/menu/promo/byline for the tabular one,
+    plus the conditional inline-ad link on long docs — so a single
+    missed, duplicated, or reordered anchor anywhere in the DOM walk
+    turns the compare red.
+
+    100 TB shape: one narrow mapInPandas over the pruned (doc_id, text)
+    scan, zero exchanges — link fan-out happens inside the Arrow batch;
+    a downstream link-graph groupBy(href) is the consumer's shuffle, not
+    this operator's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .dom import parse_html
+        from .htmlgen import page_html
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                root = parse_html(page_html(did, text))
+                for idx, (href, anchor) in enumerate(_anchors_of(root)):
+                    rows.append((f"doc-{did:06d}", idx, href, anchor))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "link_idx", "href", "anchor"]
+            )
+
+    return _corpus(spark, sf_dir, max_docs, partitions).mapInPandas(
+        run, "doc_id string, link_idx int, href string, anchor string"
+    )
+
+
+def html_links_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    """Oracle: the full anchor inventory of htmlgen's two templates,
+    rebuilt row-for-row (junk anchor words via the same
+    (doc_id*7 + salt*13 + i*3) % |vocab| arithmetic)."""
+    from .htmlgen import _VOCAB
+
+    v = "[" + ", ".join(f"'{w}'" for w in _VOCAB) + "]"
+    nv = len(_VOCAB)
+
+    def junk(salt: str, n: int) -> str:
+        return (
+            "array_to_string(list_transform(range(0, {n}), i -> "
+            "{v}[(doc_id * 7 + ({salt}) * 13 + i * 3) % {nv} + 1]), ' ')"
+        ).format(n=n, v=v, salt=salt, nv=nv)
+
+    # ord bases leave room for each template's k-ranges
+    return f"""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words
+  FROM documents WHERE doc_id < {max_docs}
+),
+sem AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+tab AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+anchors AS (
+  -- semantic template: header nav
+  SELECT doc_id, 1 AS ord, '/' AS href, 'Home' AS anchor FROM sem
+  UNION ALL SELECT doc_id, 2, '/reports', 'Reports' FROM sem
+  UNION ALL SELECT doc_id, 3, '/tags', {junk('31', 2)} FROM sem
+  UNION ALL SELECT doc_id, 4, '/contact', 'Contact' FROM sem
+  -- breadcrumbs
+  UNION ALL SELECT doc_id, 5, '/', 'Home' FROM sem
+  UNION ALL SELECT doc_id, 6, '/reports', 'Reports' FROM sem
+  -- sidebar related links (k = 0..4)
+  UNION ALL SELECT doc_id, 10 + k, '/r/' || ((doc_id + k) % 100),
+                   {junk('k', 3)}
+            FROM sem, unnest(range(0, 5)) AS u(k)
+  -- sidebar ad box
+  UNION ALL SELECT doc_id, 20, '#', 'Learn more' FROM sem
+  -- article byline
+  UNION ALL SELECT doc_id, 21, '/u/' || (doc_id % 17), 'staff writer' FROM sem
+  -- inline ad only when the article has > 2 paragraphs (> 24 words)
+  UNION ALL SELECT doc_id, 22, '#', 'click here' FROM sem WHERE n_words > 24
+  -- footer
+  UNION ALL SELECT doc_id, 30, '/tos', 'Terms' FROM sem
+  UNION ALL SELECT doc_id, 31, '/privacy', 'Privacy' FROM sem
+
+  -- tabular template: topbar (k = 0..5)
+  UNION ALL SELECT doc_id, 1 + k, '/s/' || k, {junk('50 + k', 1)}
+            FROM tab, unnest(range(0, 6)) AS u(k)
+  -- menu cell (k = 0..5)
+  UNION ALL SELECT doc_id, 10 + k, '/cat/' || ((doc_id + k) % 40),
+                   {junk('40 + k', 2)}
+            FROM tab, unnest(range(0, 6)) AS u(k)
+  -- promo
+  UNION ALL SELECT doc_id, 20, '#', 'buy' FROM tab
+  -- byline
+  UNION ALL SELECT doc_id, 21, '/u/' || (doc_id % 23),
+                   'user' || (doc_id % 23) FROM tab
+  -- inline ad on long docs
+  UNION ALL SELECT doc_id, 22, '#', 'click here' FROM tab WHERE n_words > 24
+  -- footer
+  UNION ALL SELECT doc_id, 30, '/tos', 'Terms' FROM tab
+  UNION ALL SELECT doc_id, 31, '/priv', 'Privacy' FROM tab
+)
+SELECT printf('doc-%06d', doc_id) AS doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT)
+         AS link_idx,
+       href, anchor
+FROM anchors
+"""

@@ -171,6 +171,13 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "html_links": (
+        "anchor extraction is ONE narrow MapInPandas over the pruned "
+        "(doc_id, text) scan — zero exchanges; the link-graph groupBy "
+        "is the consumer's shuffle, not this operator's",
+        ["MapInPandas"],
+        ["Exchange"],
+    ),
     "html_tables": (
         "data-table extraction is ONE narrow MapInPandas over the pruned "
         "(doc_id, text) scan — zero exchanges; the cell fan-out happens "

@@ -403,3 +403,30 @@ def test_html_tables_fixture_extracts_only_the_data_table(spark):
         for _, r in body.iterrows():
             assert r.cell == words[((r.row_idx - 1) * 3 + r.col_idx) % len(words)]
         assert not any(c in set(mine.cell) for c in ("Terms", "more"))
+
+
+def test_html_links_document_order_and_conditional_ad(spark):
+    """Anchor extraction is in document order; the inline-ad link exists
+    exactly on docs whose article exceeds two paragraphs; both templates'
+    inventories start and end with their fixed chrome anchors."""
+    from newocr_spark.web.extract import q_html_links
+
+    out = q_html_links(spark, "/root/testdata/sf0.001", max_docs=10).toPandas()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.filter("doc_id < 10").collect()}
+    for did, text in texts.items():
+        mine = out[out.doc_id == f"doc-{did:06d}"].sort_values("link_idx")
+        hrefs = list(mine.href)
+        anchors = list(mine.anchor)
+        has_ad = len(text.split(" ")) > 24
+        assert ("click here" in anchors) == has_ad
+        if did % 2 == 0:  # semantic: nav first, /privacy footer last
+            assert anchors[:2] == ["Home", "Reports"]
+            assert hrefs[-1] == "/privacy"
+            assert hrefs.count("/") == 2  # nav Home + breadcrumb Home
+        else:  # tabular: topbar first, /priv footer last
+            assert hrefs[0] == "/s/0"
+            assert hrefs[-1] == "/priv"
+            assert f"user{did % 23}" in anchors
+        # link_idx is dense 0..n-1
+        assert list(mine.link_idx) == list(range(len(mine)))
