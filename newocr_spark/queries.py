@@ -736,6 +736,7 @@ def _register_web_queries() -> None:
     QUERIES["html_spans"] = W.q_html_spans
     QUERIES["html_tables"] = W.q_html_tables
     QUERIES["html_links"] = W.q_html_links
+    QUERIES["html_linkgraph"] = W.q_html_linkgraph
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -744,6 +745,7 @@ def _register_web_queries() -> None:
     ORACLES["html_spans"] = W.html_spans_sql()
     ORACLES["html_tables"] = W.html_tables_sql()
     ORACLES["html_links"] = W.html_links_sql()
+    ORACLES["html_linkgraph"] = W.html_linkgraph_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()
     ORACLES["pdf_extract"] = W.pdf_extract_sql()

@@ -778,3 +778,36 @@ SELECT printf('doc-%06d', doc_id) AS doc_id,
        href, anchor
 FROM anchors
 """
+
+
+def q_html_linkgraph(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Link-graph rollup over `q_html_links`: per target href, total
+    in-links and distinct linking documents — the in-degree table a
+    crawl-frontier ranker or anchor-text aggregator starts from.
+
+    Output: (href, n_links, n_docs).
+
+    100 TB shape: the one (href) hash-aggregate with map-side partials
+    is exactly the consumer shuffle the extractor's docstring defers; a
+    handful of chrome hrefs ('/', '/tos', '#') dominate — the classic
+    skewed key — but the map-side partial collapses each task's copies
+    to one row per href before the exchange, so the hot keys ride as
+    O(tasks) partial rows, not O(links)."""
+    links = q_html_links(spark, sf_dir, max_docs, partitions)
+    return links.groupBy("href").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def html_linkgraph_sql(max_docs: int = HTML_MAX_DOCS) -> str:
+    """Oracle: the links inventory grouped the same way."""
+    return f"""
+WITH links AS ({html_links_sql(max_docs)})
+SELECT href, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM links GROUP BY href
+"""

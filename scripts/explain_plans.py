@@ -171,6 +171,13 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "html_linkgraph": (
+        "in-degree rollup: ONE (href) hash-aggregate with map-side "
+        "partials above the narrow link extraction — hot chrome hrefs "
+        "ride the exchange as O(tasks) partial rows, not O(links)",
+        ["MapInPandas", "HashAggregate", "Exchange"],
+        ["Window", "SortMergeJoin"],
+    ),
     "html_links": (
         "anchor extraction is ONE narrow MapInPandas over the pruned "
         "(doc_id, text) scan — zero exchanges; the link-graph groupBy "
