@@ -737,6 +737,15 @@ def _register_web_queries() -> None:
     QUERIES["html_tables"] = W.q_html_tables
     QUERIES["html_links"] = W.q_html_links
     QUERIES["html_linkgraph"] = W.q_html_linkgraph
+    QUERIES["url_canonical"] = (
+        lambda spark, sf: W.url_canonical(
+            W._with_urls(
+                spark.read.parquet(f"{sf}/documents.parquet").select(
+                    "doc_id", "source"
+                )
+            )
+        )
+    )
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -746,6 +755,7 @@ def _register_web_queries() -> None:
     ORACLES["html_tables"] = W.html_tables_sql()
     ORACLES["html_links"] = W.html_links_sql()
     ORACLES["html_linkgraph"] = W.html_linkgraph_sql()
+    ORACLES["url_canonical"] = W.url_canonical_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()
     ORACLES["pdf_extract"] = W.pdf_extract_sql()

@@ -811,3 +811,136 @@ SELECT href, CAST(count(*) AS BIGINT) AS n_links,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM links GROUP BY href
 """
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministically synthesize a messy crawl URL per doc (the
+    documents table carries none): mixed-case scheme/host, an explicit
+    default port, tracking params out of order, and a fragment — every
+    defect the canonicalizer must fix, as a pure function of
+    (doc_id, source) so the oracle rebuilds the identical input."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:443/reports/"),
+            did.cast("string"),
+            F.when(F.pmod(did, F.lit(4)) == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&z=2&a="),
+            F.pmod(did, F.lit(5)).cast("string"),
+            F.when(
+                F.pmod(did, F.lit(3)) == 0, F.lit("&utm_campaign=x&m=1")
+            ).otherwise(F.lit("")),
+            F.lit("#section-"),
+            F.pmod(did, F.lit(7)).cast("string"),
+        ).alias("url"),
+    )
+
+
+def url_canonical(pages: DataFrame) -> DataFrame:
+    """Crawl-URL canonicalization — the normalization every dedup /
+    frontier / join-on-URL stage runs first (RFC 3986 §6 normalizations
+    plus the tracking-param strip crawl pipelines add):
+
+    * scheme + host lowercased, leading ``www.`` dropped
+    * explicit default ports (``:443``/``:80``) dropped
+    * trailing slash trimmed from non-root paths
+    * fragment dropped
+    * query: ``utm_*`` tracking params removed, the rest SORTED (param
+      order is transport noise), empty query dropped
+
+    Output: (doc_id, url, canon_url).
+
+    100 TB shape: one narrow in-codegen projection — split / lower /
+    higher-order filter + array_sort / concat are all JVM expressions, so
+    there is no shuffle and no Python anywhere; a downstream
+    dedup-by-canon_url is the consumer's hash-aggregate."""
+    url = F.col("url")
+    no_frag = F.split(url, "#", 2).getItem(0)
+    scheme = F.lower(F.split(no_frag, "://", 2).getItem(0))
+    rest = F.get(F.split(no_frag, "://", 2), 1)
+    hostpath = F.split(rest, r"\?", 2).getItem(0)
+    query = F.get(F.split(rest, r"\?", 2), 1)  # NULL when no '?'
+    host = F.lower(F.split(hostpath, "/", 2).getItem(0))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(443|80)$", "")
+    path = F.get(F.split(hostpath, "/", 2), 1)  # NULL when bare host
+    path = F.when(
+        path.isNull() | (path == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("/"), F.regexp_replace(path, r"/$", "")))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return pages.select(
+        "doc_id",
+        "url",
+        F.concat(scheme, F.lit("://"), host, path, qpart).alias("canon_url"),
+    )
+
+
+def url_canonical_sql() -> str:
+    """Oracle: the identical synthesis and normalization in DuckDB
+    (list_filter/list_sort mirror the Spark higher-order pipeline)."""
+    return """
+WITH pages AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM:443/reports/'
+         || doc_id
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&z=2&a=' || (doc_id % 5)
+         || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x&m=1' ELSE '' END
+         || '#section-' || (doc_id % 7) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         string_split(url, '#')[1] AS no_frag
+  FROM pages
+),
+sp AS (
+  SELECT doc_id, url,
+         lower(string_split(no_frag, '://')[1]) AS scheme,
+         string_split(no_frag, '://')[2] AS rest
+  FROM parts
+),
+hq AS (
+  SELECT doc_id, url, scheme,
+         string_split(rest, '?')[1] AS hostpath,
+         CASE WHEN len(string_split(rest, '?')) > 1
+              THEN string_split(rest, '?')[2] END AS query
+  FROM sp
+),
+hp AS (
+  SELECT doc_id, url, scheme, query,
+         regexp_replace(
+           regexp_replace(lower(string_split(hostpath, '/')[1]),
+                          '^www\\.', ''),
+           ':(443|80)$', '') AS host,
+         CASE WHEN len(string_split(hostpath, '/')) > 1
+              THEN array_to_string(string_split(hostpath, '/')[2:], '/')
+              END AS rawpath
+  FROM hq
+),
+norm AS (
+  SELECT doc_id, url, scheme, host, query,
+         CASE WHEN rawpath IS NULL OR rawpath = '' THEN ''
+              ELSE '/' || regexp_replace(rawpath, '/$', '') END AS path,
+         list_sort(list_filter(string_split(coalesce(query, ''), '&'),
+                               p -> p <> '' AND NOT starts_with(p, 'utm_')))
+           AS params
+  FROM hp
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+FROM norm
+"""

@@ -171,6 +171,13 @@ CHECKS = {
         ["Join"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "url_canonical": (
+        "URL canonicalization is one narrow in-codegen projection — "
+        "split/lower/higher-order filter + array_sort are all JVM "
+        "expressions; no shuffle, no Python",
+        ["Project", "codegen id"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"],
+    ),
     "html_linkgraph": (
         "in-degree rollup: ONE (href) hash-aggregate with map-side "
         "partials above the narrow link extraction — hot chrome hrefs "

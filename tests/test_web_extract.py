@@ -430,3 +430,33 @@ def test_html_links_document_order_and_conditional_ad(spark):
             assert f"user{did % 23}" in anchors
         # link_idx is dense 0..n-1
         assert list(mine.link_idx) == list(range(len(mine)))
+
+
+def test_url_canonical_rules(spark):
+    """Each RFC-3986-style rule in isolation: case, www, default port,
+    trailing slash (non-root only), fragment, utm strip, param sort,
+    empty-query drop."""
+    from newocr_spark.web.extract import url_canonical
+
+    rows = [
+        (1, "HTTPS://WWW.News.Example.COM:443/a/b/?z=2&utm_x=1&a=3#top"),
+        (2, "http://example.com:80/"),          # root path: slash-only trims to bare host
+        (3, "https://Example.com/path?utm_source=x&utm_medium=y"),  # query empties
+        (4, "https://example.com:8080/p?b=2&a=1"),  # NON-default port kept
+        (5, "https://example.com/p/q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r.canon_url for r in url_canonical(docs).collect()}
+    assert out[1] == "https://news.example.com/a/b?a=3&z=2"
+    assert out[2] == "http://example.com"
+    assert out[3] == "https://example.com/path"
+    assert out[4] == "https://example.com:8080/p?a=1&b=2"
+    assert out[5] == "https://example.com/p/q"
+    # canonical equality groups what a URL-dedup stage should group
+    pair = [
+        (10, "https://www.site.com/x?b=2&a=1"),
+        (11, "HTTPS://site.com:443/x/?a=1&utm_c=z&b=2#f"),
+    ]
+    docs = spark.createDataFrame(pair, "doc_id bigint, url string")
+    canon = {r.canon_url for r in url_canonical(docs).collect()}
+    assert len(canon) == 1
