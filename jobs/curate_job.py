@@ -121,6 +121,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "clean lines (assumes web-page text with punctuation)",
     )
     p.add_argument(
+        "--source-quota", type=int, default=None, metavar="K",
+        help="cap each source at its K best docs by CCNet LM score "
+        "(textstats.source_quota; ties share fate, so a tie straddling "
+        "the cap admits the whole tie). Runs with the selection stages "
+        "(after DSIR, before the text rewrites)",
+    )
+    p.add_argument(
         "--line-dedup", action="store_true",
         help="cut corpus-duplicated lines (CCNet-style, curation.line_dedup) "
         "from every surviving doc except each line's minimum-doc_id owner; "
@@ -330,6 +337,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             .select("doc_id")
         )
         kept = kept.join(selected, "doc_id", "left_semi")
+
+    # 2e'. per-source quality quota (opt-in): cap over-crawled sources at
+    # their K best LM-scoring survivors. A selection stage like DSIR —
+    # it must see the pre-rewrite text — and corpus-state-dependent like
+    # it, so it also stays after the band-index write.
+    if args.source_quota is not None:
+        from newocr_spark.analytics.textstats import source_quota
+
+        capped = (
+            source_quota(kept, k=args.source_quota)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        kept = kept.join(capped, "doc_id", "left_semi")
 
     # 2f. CCNet line-level boilerplate cut (opt-in): remove lines that
     # appear in >= 2 distinct surviving docs from every doc but each

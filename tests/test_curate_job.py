@@ -351,3 +351,48 @@ def test_curate_job_line_dedup_cuts_boilerplate_lines(spark, tmp_path):
     for d, t in on_txt.items():
         if d not in holders:
             assert banner not in t and f"u{d}w0" in t
+
+
+def test_curate_job_source_quota_caps_overcrawled_source(spark, tmp_path):
+    """--source-quota K keeps at most K (+ties) docs per source: the
+    over-crawled source shrinks to the cap, the small source is
+    untouched, and the survivors are the source's best LM scorers."""
+    rows = []
+    # big source: 12 docs with STRICTLY distinct LM scores (doc i carries
+    # i+1 copies of the corpus-common token, so logprob rises with i and
+    # no tie can mask the cap); small source: 3
+    for i in range(12):
+        rows.append((i, " ".join(f"big{i}w{j}" for j in range(10))
+                     + " the" * (i + 1), "en", "bigsrc", 0))
+    for i in range(3):
+        rows.append((100 + i, " ".join(f"sml{i}w{j}" for j in range(10))
+                     + " the the the", "en", "smallsrc", 0))
+    src = str(tmp_path / "docs_quota")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(src)
+
+    import curate_job
+
+    def run(name, *extra):
+        out = str(tmp_path / name)
+        n = curate_job.main(
+            ["--documents", src, "--output", out, "--shards", "2",
+             "--benchmark-mod", "0", "--no-repetition-gate",
+             "--no-crossdoc-gate", *extra],
+            spark=spark,
+        )
+        return n, out
+
+    _, out_off = run("sq_off")
+    _, out_on = run("sq_on", "--source-quota", "4")
+    off = spark.read.parquet(out_off).select("doc_id").toPandas().doc_id
+    on = spark.read.parquet(out_on).select("doc_id").toPandas().doc_id
+    big_off = {d for d in off if d < 100}
+    big_on = {d for d in on if d < 100}
+    sml_on = sum(1 for d in on if d >= 100)
+    assert len(big_off) > 4  # without the cap the big source floods through
+    # the cap admits the 4 best scorers (more 'the' => higher logprob =>
+    # highest doc_ids win), intersected with what later stages sample in
+    assert big_on == {d for d in big_off if d >= 8}
+    assert sml_on == sum(1 for d in off if d >= 100)  # small source intact
