@@ -746,6 +746,20 @@ def _register_web_queries() -> None:
             )
         )
     )
+    QUERIES["url_dedup"] = (
+        lambda spark, sf: W.url_dedup(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "n_chars"
+            )
+        )
+    )
+    QUERIES["domain_stats"] = (
+        lambda spark, sf: W.domain_stats(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "n_chars"
+            )
+        )
+    )
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -756,6 +770,8 @@ def _register_web_queries() -> None:
     ORACLES["html_links"] = W.html_links_sql()
     ORACLES["html_linkgraph"] = W.html_linkgraph_sql()
     ORACLES["url_canonical"] = W.url_canonical_sql()
+    ORACLES["url_dedup"] = W.url_dedup_sql()
+    ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()
     ORACLES["pdf_extract"] = W.pdf_extract_sql()

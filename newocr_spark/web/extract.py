@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .boilerplate import extract_content
@@ -839,7 +839,7 @@ def _with_urls(docs: DataFrame) -> DataFrame:
     )
 
 
-def url_canonical(pages: DataFrame) -> DataFrame:
+def url_canonical(pages: DataFrame, extra: tuple = ()) -> DataFrame:
     """Crawl-URL canonicalization — the normalization every dedup /
     frontier / join-on-URL stage runs first (RFC 3986 §6 normalizations
     plus the tracking-param strip crawl pipelines add):
@@ -851,7 +851,9 @@ def url_canonical(pages: DataFrame) -> DataFrame:
     * query: ``utm_*`` tracking params removed, the rest SORTED (param
       order is transport noise), empty query dropped
 
-    Output: (doc_id, url, canon_url).
+    Output: (doc_id, url, canon_url, *extra) — ``extra`` names input
+    columns threaded through unchanged so consumers (url_dedup) avoid a
+    join back to the source table.
 
     100 TB shape: one narrow in-codegen projection — split / lower /
     higher-order filter + array_sort / concat are all JVM expressions, so
@@ -883,14 +885,15 @@ def url_canonical(pages: DataFrame) -> DataFrame:
         "doc_id",
         "url",
         F.concat(scheme, F.lit("://"), host, path, qpart).alias("canon_url"),
+        *extra,
     )
 
 
 def url_canonical_sql() -> str:
     """Oracle: the identical synthesis and normalization in DuckDB
-    (list_filter/list_sort mirror the Spark higher-order pipeline)."""
-    return """
-WITH pages AS (
+    (list_filter/list_sort mirror the Spark higher-order pipeline; the
+    CTE chain is shared with the url_dedup/domain_stats oracles)."""
+    return _canon_chain_sql("""
   SELECT doc_id,
          'HTTPS://WWW.' || upper(source) || '.Example.COM:443/reports/'
          || doc_id
@@ -899,27 +902,39 @@ WITH pages AS (
          || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x&m=1' ELSE '' END
          || '#section-' || (doc_id % 7) AS url
   FROM documents
-),
+""") + """
+SELECT doc_id, url, canon_url FROM canon
+"""
+
+
+def _canon_chain_sql(pages_cte: str, carry: str = "") -> str:
+    """DuckDB CTE chain mirroring ``url_canonical`` exactly (same split /
+    lower / filter / sort steps); ``pages_cte`` must yield
+    (doc_id, url[, carry...]) and ``carry`` is a ', col'-prefixed list
+    threaded through every stage. Ends with a ``canon`` CTE of
+    (doc_id, url, canon_url[, carry...]) — callers append their SELECT."""
+    return f"""
+WITH pages AS ({pages_cte}),
 parts AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url{carry},
          string_split(url, '#')[1] AS no_frag
   FROM pages
 ),
 sp AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url{carry},
          lower(string_split(no_frag, '://')[1]) AS scheme,
          string_split(no_frag, '://')[2] AS rest
   FROM parts
 ),
 hq AS (
-  SELECT doc_id, url, scheme,
+  SELECT doc_id, url{carry}, scheme,
          string_split(rest, '?')[1] AS hostpath,
          CASE WHEN len(string_split(rest, '?')) > 1
               THEN string_split(rest, '?')[2] END AS query
   FROM sp
 ),
 hp AS (
-  SELECT doc_id, url, scheme, query,
+  SELECT doc_id, url{carry}, scheme, query,
          regexp_replace(
            regexp_replace(lower(string_split(hostpath, '/')[1]),
                           '^www\\.', ''),
@@ -930,17 +945,157 @@ hp AS (
   FROM hq
 ),
 norm AS (
-  SELECT doc_id, url, scheme, host, query,
+  SELECT doc_id, url{carry}, scheme, host, query,
          CASE WHEN rawpath IS NULL OR rawpath = '' THEN ''
               ELSE '/' || regexp_replace(rawpath, '/$', '') END AS path,
          list_sort(list_filter(string_split(coalesce(query, ''), '&'),
                                p -> p <> '' AND NOT starts_with(p, 'utm_')))
            AS params
   FROM hp
+),
+canon AS (
+  SELECT doc_id, url{carry},
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM norm
 )
-SELECT doc_id, url,
-       scheme || '://' || host || path ||
-       CASE WHEN len(params) > 0
-            THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
-FROM norm
+"""
+
+
+def _with_recrawl_urls(docs: DataFrame) -> DataFrame:
+    """Re-crawl URL synthesis: page ``p = doc_id // 3`` is fetched up to
+    three times (variant ``v = doc_id % 3``), each fetch differing ONLY in
+    the noise canonicalization strips — scheme/host case, ``www.``, an
+    explicit default port, a trailing slash, ``utm_*`` params, non-utm
+    param ORDER, and the fragment. All three variants canonicalize to
+    ``https://site{p%20}.example.com/p/{p}?a={p%5}&z=2``, giving the
+    URL-dedup stage real collision groups while staying a pure function
+    of doc_id the oracle rebuilds byte-identically. ~20 synthetic domains
+    host the pages (for the per-domain rollup)."""
+    did = F.col("doc_id")
+    p = F.floor(did / F.lit(3)).cast("long")
+    v = F.pmod(did, F.lit(3))
+    dom = F.pmod(p, F.lit(20)).cast("string")
+    ps = p.cast("string")
+    a = F.pmod(p, F.lit(5)).cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://www.site"), dom, F.lit(".example.com/p/"), ps,
+            F.lit("?a="), a, F.lit("&z=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://Site"), dom, F.lit(".Example.COM:443/p/"), ps,
+            F.lit("/?utm_source=feed&z=2&a="), a))
+        .otherwise(F.concat(
+            F.lit("https://WWW.SITE"), dom, F.lit(".example.com:80/p/"), ps,
+            F.lit("?z=2&utm_campaign=x&a="), a))
+    )
+    url = F.concat(url, F.lit("#c"), did.cast("string"))
+    return docs.select("doc_id", url.alias("url"), "n_chars")
+
+
+_RECRAWL_PAGES_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://www.site' || ((doc_id // 3) % 20)
+                || '.example.com/p/' || (doc_id // 3)
+                || '?a=' || ((doc_id // 3) % 5) || '&z=2'
+           WHEN 1 THEN 'HTTPS://Site' || ((doc_id // 3) % 20)
+                || '.Example.COM:443/p/' || (doc_id // 3)
+                || '/?utm_source=feed&z=2&a=' || ((doc_id // 3) % 5)
+           ELSE 'https://WWW.SITE' || ((doc_id // 3) % 20)
+                || '.example.com:80/p/' || (doc_id // 3)
+                || '?z=2&utm_campaign=x&a=' || ((doc_id // 3) % 5)
+         END || '#c' || doc_id AS url,
+         n_chars
+  FROM documents
+"""
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """URL-level dedup — the stage RefinedWeb (Penedo et al. 2023, §3.2)
+    runs BEFORE content dedup: re-crawls of the same page are collapsed by
+    canonical URL, keeping the longest fetch (ties → lowest doc_id), so
+    the expensive MinHash stage never sees N copies of one page.
+
+    Output: (canon_url, keep_doc_id, keep_chars, n_crawls).
+
+    100 TB shape: ONE shuffle — both window functions share the
+    canon_url partitioning, so Catalyst plans a single Exchange; only
+    (canon_url, doc_id, n_chars) ride it (never text), and the
+    canonicalization above it is a narrow in-codegen projection."""
+    canon = url_canonical(_with_recrawl_urls(docs), extra=("n_chars",))
+    wkey = Window.partitionBy("canon_url")
+    w = wkey.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        canon.select(
+            "canon_url", "doc_id", "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wkey).alias("n_crawls"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "canon_url",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_chars"),
+            F.col("n_crawls").cast("long").alias("n_crawls"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+def url_dedup_sql() -> str:
+    """Oracle: identical synthesis + canon chain, then QUALIFY keeps the
+    longest fetch per canonical URL."""
+    return _canon_chain_sql(_RECRAWL_PAGES_SQL, carry=", n_chars") + """
+SELECT canon_url,
+       doc_id AS keep_doc_id,
+       n_chars AS keep_chars,
+       CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_crawls
+FROM canon
+QUALIFY row_number() OVER (
+  PARTITION BY canon_url ORDER BY n_chars DESC, doc_id ASC) = 1
+ORDER BY canon_url
+"""
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-domain crawl rollup over canonicalized URLs — the frontier /
+    politeness / quota view every crawl operator keeps: fetches, distinct
+    pages, and byte volume per registered host.
+
+    Output: (domain, n_crawls, n_pages, total_chars, avg_chars).
+
+    100 TB shape: one hash-aggregate on ~|domains| keys; the distinct-page
+    count plans as Spark's standard two-phase partial-distinct aggregate
+    (keys are (domain, canon_url) partials, never rows), and text never
+    leaves the scan (only n_chars is read)."""
+    canon = url_canonical(_with_recrawl_urls(docs), extra=("n_chars",))
+    host = F.split(F.split(F.col("canon_url"), "://", 2).getItem(1), "/", 2) \
+        .getItem(0)
+    return (
+        canon.select(host.alias("domain"), "canon_url", "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.countDistinct("canon_url").alias("n_pages"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+def domain_stats_sql() -> str:
+    """Oracle: same chain, host split from canon_url, grouped rollup
+    (sum cast to BIGINT — DuckDB widens BIGINT sums to HUGEINT)."""
+    return _canon_chain_sql(_RECRAWL_PAGES_SQL, carry=", n_chars") + """
+SELECT split_part(split_part(canon_url, '://', 2), '/', 1) AS domain,
+       count(*) AS n_crawls,
+       count(DISTINCT canon_url) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 3) AS avg_chars
+FROM canon
+GROUP BY 1
+ORDER BY 1
 """

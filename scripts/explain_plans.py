@@ -178,6 +178,24 @@ CHECKS = {
         ["Project", "codegen id"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"],
     ),
+    "url_dedup": (
+        "URL-level dedup (RefinedWeb stage order: collapse re-crawls "
+        "BEFORE content dedup): both window functions share the "
+        "canon_url partitioning so ONE Exchange feeds them; only "
+        "(canon_url, doc_id, n_chars) ride it and the whole operator "
+        "is JVM-side — no Python anywhere",
+        ["Window", "Exchange"],
+        ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+         "CartesianProduct"],
+    ),
+    "domain_stats": (
+        "per-domain crawl rollup: the distinct-page count plans as the "
+        "standard two-phase partial-distinct HashAggregate over "
+        "(domain, canon_url) keys; text never leaves the scan and no "
+        "Python runs",
+        ["HashAggregate", "Exchange"],
+        ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
+    ),
     "html_linkgraph": (
         "in-degree rollup: ONE (href) hash-aggregate with map-side "
         "partials above the narrow link extraction — hot chrome hrefs "

@@ -460,3 +460,38 @@ def test_url_canonical_rules(spark):
     docs = spark.createDataFrame(pair, "doc_id bigint, url string")
     canon = {r.canon_url for r in url_canonical(docs).collect()}
     assert len(canon) == 1
+
+
+def test_url_dedup_keeps_longest_fetch(spark):
+    """Re-crawl groups of 3 collapse to one row keyed by canonical URL;
+    the kept doc is the longest fetch (ties -> lowest doc_id)."""
+    from newocr_spark.web.extract import domain_stats, url_dedup
+
+    rows = [(i, int(100 + (i * 37) % 50)) for i in range(12)]
+    # force a tie inside page group 2 (docs 6,7,8)
+    rows[6] = (6, 120)
+    rows[7] = (7, 120)
+    rows[8] = (8, 90)
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    out = {r.canon_url: r for r in url_dedup(docs).collect()}
+    # 12 docs / 3 crawls = 4 pages, each fully collided by canonicalization
+    assert len(out) == 4
+    assert all(r.n_crawls == 3 for r in out.values())
+    for page, grp in ((0, rows[0:3]), (1, rows[3:6]), (3, rows[9:12])):
+        url = f"https://site{page % 20}.example.com/p/{page}?a={page % 5}&z=2"
+        best = max(grp, key=lambda t: (t[1], -t[0]))
+        assert out[url].keep_doc_id == best[0]
+        assert out[url].keep_chars == best[1]
+    # the tied group: equal n_chars -> lowest doc_id wins
+    tie = out["https://site2.example.com/p/2?a=2&z=2"]
+    assert (tie.keep_doc_id, tie.keep_chars) == (6, 120)
+
+    # domain rollup over the same synthesis: pages 0-3 land on site0..site3
+    doms = {r.domain: r for r in domain_stats(docs).collect()}
+    assert set(doms) == {f"site{i}.example.com" for i in range(4)}
+    for i in range(4):
+        d = doms[f"site{i}.example.com"]
+        assert (d.n_crawls, d.n_pages) == (3, 1)
+        grp = rows[3 * i : 3 * i + 3]
+        assert d.total_chars == sum(t[1] for t in grp)
+        assert d.avg_chars == round(sum(t[1] for t in grp) / 3, 3)
