@@ -760,6 +760,7 @@ def _register_web_queries() -> None:
             )
         )
     )
+    QUERIES["crawl_frontier"] = W.q_crawl_frontier
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -771,6 +772,7 @@ def _register_web_queries() -> None:
     ORACLES["html_linkgraph"] = W.html_linkgraph_sql()
     ORACLES["url_canonical"] = W.url_canonical_sql()
     ORACLES["url_dedup"] = W.url_dedup_sql()
+    ORACLES["crawl_frontier"] = W.crawl_frontier_sql()
     ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()

@@ -1099,3 +1099,103 @@ FROM canon
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# incremental-frontier defaults: wave-1 (already crawled) = doc_id < split
+CRAWL_WAVE_SPLIT = 100
+FRONTIER_PER_DOMAIN = 8
+
+
+def q_crawl_frontier(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    split: int = CRAWL_WAVE_SPLIT, per_domain: int = FRONTIER_PER_DOMAIN,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Incremental crawl-frontier discovery — the loop-closing stage of a
+    crawl pipeline: which URLs did the LATEST wave's pages link to that
+    no earlier wave has seen, and which should each domain fetch next?
+
+    Wave 1 (doc_id < split) is the already-crawled increment; its outlink
+    set is the seen-set (the persisted frontier index on a real crawl,
+    same pattern as incremental_neardup's band index). Wave 2's anchors
+    resolve against the linking page's domain (the recrawl-synthesis
+    host, web/extract._with_recrawl_urls), are counted per (domain, url)
+    by distinct linking doc, anti-joined against the seen-set, and
+    politeness-capped to the top ``per_domain`` per host by reference
+    count (ties → url asc). Chrome links ('/', '/tos', nav, topbar) are
+    all seen in wave 1, so the frontier is exactly the doc-dependent
+    discovery tail ('/r/{n}', '/cat/{n}', '/u/{n}') — the realistic
+    shape. Fragment-only '#' anchors never enter the frontier.
+
+    Output: (domain, url, n_refs, rank), rank 1..per_domain per domain.
+
+    100 TB shape: anchors leave the narrow MapInPandas as (doc, href)
+    ids only; the (domain, url) hash-aggregate collapses duplicates
+    map-side; the seen-set join is an equi anti-join on url (the seen
+    side is a distinct projection, broadcast-eligible); the politeness
+    window shuffles only (domain, url, n_refs) rows already capped to
+    distinct URLs. Anchor text never rides any exchange."""
+    links = q_html_links(spark, sf_dir, max_docs, partitions)
+    did = F.substring("doc_id", 5, 10).cast("long")
+    dom = F.concat(
+        F.lit("site"),
+        F.pmod(F.floor(did / F.lit(3)), F.lit(20)).cast("string"),
+        F.lit(".example.com"),
+    )
+    urls = links.filter(F.col("href") != "#").select(
+        did.alias("did"),
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, F.col("href")).alias("url"),
+    )
+    seen = urls.filter(F.col("did") < split).select("url").distinct()
+    cand = (
+        urls.filter(F.col("did") >= split)
+        .groupBy("domain", "url")
+        .agg(F.countDistinct("did").alias("n_refs"))
+    )
+    fresh = cand.join(F.broadcast(seen), "url", "left_anti")
+    w = Window.partitionBy("domain").orderBy(F.desc("n_refs"), F.asc("url"))
+    return (
+        fresh.select(
+            "domain", "url", "n_refs", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= per_domain)
+        .orderBy("domain", "rank")
+    )
+
+
+def crawl_frontier_sql(
+    max_docs: int = HTML_MAX_DOCS, split: int = CRAWL_WAVE_SPLIT,
+    per_domain: int = FRONTIER_PER_DOMAIN,
+) -> str:
+    """Oracle: the full closed-form anchor inventory (html_links_sql,
+    nested), resolved/aggregated/anti-joined/capped with the same rules."""
+    return f"""
+WITH links AS (SELECT * FROM (
+{html_links_sql(max_docs)}
+)),
+l AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS did, href
+  FROM links WHERE href <> '#'
+),
+u AS (
+  SELECT did,
+         'site' || ((did // 3) % 20) || '.example.com' AS domain,
+         'https://site' || ((did // 3) % 20) || '.example.com' || href AS url
+  FROM l
+),
+seen AS (SELECT DISTINCT url FROM u WHERE did < {split}),
+cand AS (
+  SELECT domain, url, CAST(count(DISTINCT did) AS BIGINT) AS n_refs
+  FROM u WHERE did >= {split} GROUP BY 1, 2
+),
+fresh AS (
+  SELECT * FROM cand WHERE url NOT IN (SELECT url FROM seen)
+)
+SELECT domain, url, n_refs,
+       CAST(row_number() OVER (
+         PARTITION BY domain ORDER BY n_refs DESC, url ASC) AS INT) AS rank
+FROM fresh
+QUALIFY rank <= {per_domain}
+ORDER BY domain, rank
+"""

@@ -196,6 +196,14 @@ CHECKS = {
         ["HashAggregate", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
     ),
+    "crawl_frontier": (
+        "incremental frontier: anchors leave the narrow MapInPandas as "
+        "ids only; (domain, url) hash-aggregate with map-side partials; "
+        "seen-set anti-join is a broadcast equi-join; the politeness "
+        "window shuffles only capped (domain, url, n_refs) rows",
+        ["MapInPandas", "HashAggregate", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "html_linkgraph": (
         "in-degree rollup: ONE (href) hash-aggregate with map-side "
         "partials above the narrow link extraction — hot chrome hrefs "

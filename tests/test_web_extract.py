@@ -495,3 +495,36 @@ def test_url_dedup_keeps_longest_fetch(spark):
         grp = rows[3 * i : 3 * i + 3]
         assert d.total_chars == sum(t[1] for t in grp)
         assert d.avg_chars == round(sum(t[1] for t in grp) / 3, 3)
+
+
+def test_crawl_frontier_semantics(spark):
+    """Frontier = wave-2 discoveries only: chrome links are all seen in
+    wave 1 and never surface; every frontier URL is a doc-dependent
+    discovery href on the linking doc's own domain; the politeness cap
+    and (n_refs desc, url asc) ranking hold."""
+    from newocr_spark.web.extract import q_crawl_frontier
+
+    out = q_crawl_frontier(
+        spark, "/root/testdata/sf0.001", max_docs=120, split=60, per_domain=5
+    ).collect()
+    assert out, "frontier empty"
+    chrome = ("/reports", "/tags", "/contact", "/tos", "/privacy", "/priv")
+    for r in out:
+        path = r.url.split(".example.com", 1)[1]
+        assert r.url.startswith(f"https://{r.domain}")
+        assert path.startswith(("/r/", "/cat/", "/u/", "/s/")) or path not in chrome
+        assert 1 <= r.rank <= 5
+    # per-domain: ranks dense from 1, ordered by (n_refs desc, url asc)
+    bydom = {}
+    for r in out:
+        bydom.setdefault(r.domain, []).append(r)
+    for rows in bydom.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.n_refs, r.url) for r in rows]
+        assert keys == sorted(keys)
+    # chrome URLs really are excluded by the seen-set, not by accident:
+    # wave 1 contains every chrome href per domain
+    assert all(
+        not r.url.endswith(("/tos", "/privacy", "/priv")) for r in out
+    )
