@@ -761,6 +761,7 @@ def _register_web_queries() -> None:
         )
     )
     QUERIES["crawl_frontier"] = W.q_crawl_frontier
+    QUERIES["warc_extract"] = W.q_warc_extract
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -773,6 +774,9 @@ def _register_web_queries() -> None:
     ORACLES["url_canonical"] = W.url_canonical_sql()
     ORACLES["url_dedup"] = W.url_dedup_sql()
     ORACLES["crawl_frontier"] = W.crawl_frontier_sql()
+    # the WARC round trip reproduces q_html_main_text exactly, so the
+    # same closed-form law certifies framing + HTTP parse + strip
+    ORACLES["warc_extract"] = W.html_main_text_sql()
     ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()

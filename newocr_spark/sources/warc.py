@@ -1,0 +1,177 @@
+"""WARC (Web ARChive, ISO 28500 / WARC 1.0) source: the interchange
+format real crawls arrive in (Common Crawl, Heritrix, wget --warc).
+
+Two halves, both distributed:
+
+* **synthesis** (`synth_warc_blobs`): deterministic WARC/1.0 blobs built
+  from the documents table — each blob holds one ``warcinfo`` record plus
+  a group of ``response`` records whose HTTP payload is the SAME
+  synthesized page (`web/htmlgen.page_html`) the HTML stack parses, so
+  every downstream law (main-text, spans, anchors) holds verbatim over
+  the WARC path. A pure function of (doc_id, text): the oracle rebuilds
+  expected outputs in closed form.
+* **parsing** (`parse_warc`): a narrow mapInPandas that walks the WARC
+  record framing (header block, CRLFCRLF, Content-Length payload,
+  CRLFCRLF), parses the embedded HTTP response (status line, headers,
+  body), and emits one row per record.
+
+100 TB shape: blobs are opaque ``binary`` cells; parsing is narrow (no
+shuffle) and each Arrow batch holds whole blobs, so framing state never
+crosses batch or partition boundaries — exactly how a real WARC split
+reader works (gzip members are record-aligned; splits snap to record
+starts). The synthesis side's one shuffle is the groupBy(blob_id) that
+packs records into files — the writer's shuffle, not the reader's.
+
+Record framing per the public WARC 1.0 spec (ISO 28500:2009 §4): a
+record is ``version line, named fields, CRLFCRLF, content block,
+CRLFCRLF``; mandatory fields WARC-Record-ID, Content-Length, WARC-Date,
+WARC-Type; response records carry Content-Type
+``application/http;msgtype=response`` and WARC-Target-URI.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_DATE = "2026-01-01T00:00:00Z"
+RECORDS_PER_BLOB = 4
+CRLF = "\r\n"
+
+
+def _uuid(kind: str, n: int) -> str:
+    """Deterministic RFC-4122-shaped record id (the spec requires a
+    globally unique URI; a content-derived one keeps the fixture pure)."""
+    return f"<urn:uuid:00000000-0000-4000-8000-{hash((kind, n)) & 0xFFFFFFFFFFFF:012x}>"
+
+
+def doc_uri(doc_id: int) -> str:
+    """Crawl URI for a doc — same host scheme as the recrawl synthesis
+    (web/extract._with_recrawl_urls) so the WARC corpus and the URL
+    analytics describe one crawl."""
+    return f"https://site{(doc_id // 3) % 20}.example.com/p/{doc_id}"
+
+
+def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+    head = "WARC/1.0" + CRLF
+    head += "".join(f"{k}: {v}{CRLF}" for k, v in headers)
+    head += f"Content-Length: {len(body)}{CRLF}"
+    return head.encode("ascii") + CRLF.encode() + body + (CRLF * 2).encode()
+
+
+def response_record(doc_id: int, html: str) -> bytes:
+    body_b = html.encode("utf-8")
+    http = (
+        f"HTTP/1.1 200 OK{CRLF}"
+        f"Content-Type: text/html; charset=utf-8{CRLF}"
+        f"Content-Length: {len(body_b)}{CRLF}{CRLF}"
+    ).encode("ascii") + body_b
+    return _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", _uuid("response", doc_id)),
+            ("WARC-Date", WARC_DATE),
+            ("WARC-Target-URI", doc_uri(doc_id)),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http,
+    )
+
+
+def warcinfo_record(blob_id: int) -> bytes:
+    info = f"software: newocr_spark{CRLF}format: WARC file version 1.0{CRLF}"
+    return _record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", _uuid("warcinfo", blob_id)),
+            ("WARC-Date", WARC_DATE),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        info.encode("ascii"),
+    )
+
+
+def synth_warc_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id:long, text) → (blob_id:long, data:binary): WARC blobs of
+    ``RECORDS_PER_BLOB`` response records (doc_id order) prefixed by one
+    warcinfo record — the writer side. One shuffle (groupBy blob_id)."""
+    from ..web.htmlgen import page_html
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob_id = int(pdf["blob_id"].iloc[0])
+        parts = [warcinfo_record(blob_id)]
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            parts.append(response_record(int(did), page_html(int(did), text)))
+        return pd.DataFrame({"blob_id": [blob_id], "data": [b"".join(parts)]})
+
+    return (
+        docs.withColumn(
+            "blob_id", F.floor(F.col("doc_id") / F.lit(RECORDS_PER_BLOB))
+        )
+        .groupBy("blob_id")
+        .applyInPandas(pack, "blob_id long, data binary")
+    )
+
+
+def parse_warc(blobs: DataFrame) -> DataFrame:
+    """(blob_id, data:binary) → one row per WARC record:
+    (blob_id, rec_idx, warc_type, target_uri, http_status, content_type,
+    payload). Narrow mapInPandas — framing never crosses a batch."""
+    sep = (CRLF * 2).encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, data in zip(pdf["blob_id"], pdf["data"]):
+                pos, idx = 0, 0
+                data = bytes(data)
+                while pos < len(data):
+                    hdr_end = data.find(sep, pos)
+                    if hdr_end < 0:
+                        break
+                    lines = data[pos:hdr_end].decode("ascii").split(CRLF)
+                    if not lines or not lines[0].startswith("WARC/"):
+                        break
+                    fields = {}
+                    for ln in lines[1:]:
+                        k, _, v = ln.partition(":")
+                        fields[k.strip().lower()] = v.strip()
+                    clen = int(fields["content-length"])
+                    body = data[hdr_end + 4 : hdr_end + 4 + clen]
+                    pos = hdr_end + 4 + clen + 4  # skip record-end CRLFCRLF
+                    wtype = fields.get("warc-type", "")
+                    status, ctype, payload = None, None, None
+                    if wtype == "response":
+                        he = body.find(sep)
+                        hlines = body[:he].decode("ascii").split(CRLF)
+                        status = int(hlines[0].split(" ")[1])
+                        for ln in hlines[1:]:
+                            k, _, v = ln.partition(":")
+                            if k.strip().lower() == "content-type":
+                                ctype = v.strip()
+                        payload = body[he + 4 :].decode("utf-8")
+                    rows.append(
+                        (
+                            int(blob_id), idx, wtype,
+                            fields.get("warc-target-uri"), status, ctype,
+                            payload,
+                        )
+                    )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "rec_idx", "warc_type", "target_uri",
+                    "http_status", "content_type", "payload",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        run,
+        "blob_id long, rec_idx int, warc_type string, target_uri string, "
+        "http_status int, content_type string, payload string",
+    )

@@ -1199,3 +1199,58 @@ FROM fresh
 QUALIFY rank <= {per_domain}
 ORDER BY domain, rank
 """
+
+
+def q_warc_extract(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Main-content extraction over a WARC crawl archive — the full
+    ingest path a real crawl corpus takes: documents → WARC/1.0 blobs
+    (sources/warc.synth_warc_blobs: warcinfo + grouped response records,
+    ISO 28500 framing) → record parser (parse_warc) → HTTP payload →
+    boilerplate strip → clean article text.
+
+    Output is IDENTICAL to q_html_main_text — same columns, same rows —
+    so the same closed-form oracle certifies the whole WARC round trip:
+    any framing bug (a Content-Length off by one, a missed CRLFCRLF, a
+    record misordered or dropped in the blob packer) breaks the compare.
+
+    100 TB shape: the ONE shuffle is the writer's groupBy(blob_id) that
+    packs records into files; the reader side (record walk + HTTP parse
+    + DOM strip) is a narrow mapInPandas chain over opaque binary cells,
+    with framing state never crossing a batch — how a real record-aligned
+    WARC split reader behaves."""
+    from ..sources.warc import parse_warc, synth_warc_blobs
+
+    docs = _corpus(spark, sf_dir, max_docs, partitions)
+    recs = parse_warc(synth_warc_blobs(docs))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/p/(\d+)$", 1).cast("long")
+        .alias("did"),
+        "payload",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf["did"], pdf["payload"]):
+                out = extract_content(html)
+                paras = [t for k, t, _ in out["items"] if k == "text"]
+                rows.append(
+                    (
+                        f"doc-{int(did):06d}",
+                        out["title"],
+                        "\n\n".join(paras),
+                        len(paras),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "main_text", "n_paras"]
+            )
+
+    return pages.mapInPandas(
+        run, "doc_id string, title string, main_text string, n_paras int"
+    )

@@ -196,6 +196,13 @@ CHECKS = {
         ["HashAggregate", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
     ),
+    "warc_extract": (
+        "WARC ingest: the ONE Exchange is the writer's groupBy(blob_id) "
+        "record packer; the reader (framing walk + HTTP parse + strip) "
+        "is a narrow FlatMapGroups/MapInPandas chain over binary cells",
+        ["MapInPandas", "Exchange"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     "crawl_frontier": (
         "incremental frontier: anchors leave the narrow MapInPandas as "
         "ids only; (domain, url) hash-aggregate with map-side partials; "

@@ -528,3 +528,34 @@ def test_crawl_frontier_semantics(spark):
     assert all(
         not r.url.endswith(("/tos", "/privacy", "/priv")) for r in out
     )
+
+
+def test_warc_roundtrip_framing(spark):
+    """Record-level WARC roundtrip: blob packing (warcinfo + grouped
+    responses in doc order), ISO 28500 framing walk, HTTP parse — every
+    field recovered exactly."""
+    from newocr_spark.sources.warc import (
+        RECORDS_PER_BLOB, doc_uri, parse_warc, synth_warc_blobs,
+    )
+    from newocr_spark.web.htmlgen import page_html
+
+    rows = [(i, f"alpha beta gamma delta {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    recs = parse_warc(synth_warc_blobs(docs)).collect()
+    by_blob = {}
+    for r in recs:
+        by_blob.setdefault(r.blob_id, []).append(r)
+    assert set(by_blob) == {0, 1, 2}  # 10 docs / 4 per blob
+    for blob_id, rs in by_blob.items():
+        rs.sort(key=lambda r: r.rec_idx)
+        assert rs[0].warc_type == "warcinfo"
+        assert rs[0].http_status is None and rs[0].payload is None
+        body = rs[1:]
+        want = [i for i in range(10) if i // RECORDS_PER_BLOB == blob_id]
+        assert [r.rec_idx for r in rs] == list(range(len(rs)))
+        for r, did in zip(body, want):
+            assert r.warc_type == "response"
+            assert r.target_uri == doc_uri(did)
+            assert r.http_status == 200
+            assert r.content_type == "text/html; charset=utf-8"
+            assert r.payload == page_html(did, f"alpha beta gamma delta {did}")
