@@ -1254,3 +1254,142 @@ def q_warc_extract(
     return pages.mapInPandas(
         run, "doc_id string, title string, main_text string, n_paras int"
     )
+
+
+def _robots_txt(d: "F.Column") -> "F.Column":
+    """Per-domain robots.txt synthesis (pure function of the domain
+    index): a single ``User-agent: *`` group with a crawl-delay and a
+    domain-dependent Allow/Disallow mix that exercises every RFC 9309
+    rule the gate implements — prefix match, longest-match-wins, and
+    allow-beats-disallow on equal length."""
+    return F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        F.pmod(d, F.lit(5)).cast("string"),
+        F.lit("\n"),
+        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("Disallow: /cat/\n"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(2)) == 0, F.lit("Disallow: /u/\n"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit("Allow: /u/1\n"))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /private/\n"),
+    )
+
+
+def q_robots_gate(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    split: int = CRAWL_WAVE_SPLIT, per_domain: int = FRONTIER_PER_DOMAIN,
+) -> DataFrame:
+    """Robots-politeness gate over the crawl frontier (RFC 9309): each
+    domain's robots.txt is parsed into (path-prefix, allow) rules, every
+    frontier URL is matched against its domain's rules, and the
+    LONGEST-matching rule decides — allow beating disallow on equal
+    length (RFC 9309 §2.2.2, least-restrictive tie-break). URLs with no
+    matching rule are allowed. The robots text itself is parsed
+    declaratively (split → explode → prefix tests), not in Python.
+
+    Output: (domain, url, n_refs, rank, allowed, matched_rule,
+    crawl_delay) — the fetch scheduler's input, ordered like the
+    frontier.
+
+    100 TB shape: rules are O(|domains| × rules-per-domain) — tiny — so
+    the rule join broadcasts; the longest-match argmax is one
+    (domain, url) hash-aggregate over matched candidate rows (a handful
+    per URL); the frontier's own exchanges dominate."""
+    frontier = q_crawl_frontier(spark, sf_dir, max_docs, split, per_domain)
+    d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
+    doms = frontier.select("domain").distinct().select(
+        "domain", d.alias("d"), _robots_txt(d).alias("robots")
+    )
+    lines = doms.select(
+        "domain", "d", F.explode(F.split("robots", "\n")).alias("line")
+    )
+    rules = lines.select(
+        "domain",
+        F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
+        F.trim(F.get(F.split("line", ":", 2), 1)).alias("rule_path"),
+    ).filter(
+        F.col("verb").isin("allow", "disallow") & (F.col("rule_path") != "")
+    ).select(
+        "domain", "rule_path", (F.col("verb") == "allow").alias("is_allow")
+    )
+    paths = frontier.select(
+        "domain", "url", "n_refs", "rank",
+        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
+    )
+    matched = (
+        paths.join(F.broadcast(rules), "domain")
+        .filter(F.col("path").startswith(F.col("rule_path")))
+        .groupBy("domain", "url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("rule_path").alias("l"),
+                    F.col("is_allow").alias("a"),
+                    F.col("rule_path").alias("p"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "domain", "url", F.col("m.a").alias("best_allow"),
+            F.col("m.p").alias("matched_rule"),
+        )
+    )
+    return (
+        paths.join(matched, ["domain", "url"], "left")
+        .select(
+            "domain", "url", "n_refs", "rank",
+            F.coalesce(F.col("best_allow"), F.lit(True)).alias("allowed"),
+            "matched_rule",
+            F.pmod(
+                F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
+                F.lit(5),
+            ).alias("crawl_delay"),
+        )
+        .orderBy("domain", "rank")
+    )
+
+
+def robots_gate_sql(
+    max_docs: int = HTML_MAX_DOCS, split: int = CRAWL_WAVE_SPLIT,
+    per_domain: int = FRONTIER_PER_DOMAIN,
+) -> str:
+    """Oracle: the frontier oracle nested, the rule set in closed form
+    (the synthesis law, skipping the text round trip the Spark side
+    exercises), longest-match via row_number with the same tie-break."""
+    return f"""
+WITH f AS (SELECT * FROM (
+{crawl_frontier_sql(max_docs, split, per_domain)}
+)),
+dom AS (
+  SELECT DISTINCT domain,
+         CAST(regexp_extract(domain, 'site(\\d+)\\.', 1) AS INT) AS d
+  FROM f
+),
+rules AS (
+  SELECT domain, '/cat/' AS p, FALSE AS a FROM dom WHERE d % 3 = 0
+  UNION ALL SELECT domain, '/u/', FALSE FROM dom WHERE d % 2 = 0
+  UNION ALL SELECT domain, '/u/1', TRUE FROM dom WHERE d % 4 = 0
+  UNION ALL SELECT domain, '/private/', FALSE FROM dom
+),
+paths AS (
+  SELECT f.*, regexp_replace(url, '^https://[^/]+', '') AS path FROM f
+),
+m AS (
+  SELECT paths.domain, paths.url, r.p, r.a,
+         row_number() OVER (
+           PARTITION BY paths.domain, paths.url
+           ORDER BY len(r.p) DESC, r.a DESC, r.p DESC) AS rn
+  FROM paths JOIN rules r
+    ON paths.domain = r.domain AND starts_with(paths.path, r.p)
+)
+SELECT p2.domain, p2.url, p2.n_refs, p2.rank,
+       coalesce(m.a, TRUE) AS allowed,
+       m.p AS matched_rule,
+       CAST(d.d % 5 AS INT) AS crawl_delay
+FROM paths p2
+LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+  ON p2.domain = m.domain AND p2.url = m.url
+JOIN dom d ON p2.domain = d.domain
+ORDER BY p2.domain, p2.rank
+"""

@@ -196,6 +196,13 @@ CHECKS = {
         ["HashAggregate", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
     ),
+    "robots_gate": (
+        "RFC 9309 gate: robots rules are O(domains) so the rule join "
+        "broadcasts; longest-match is one (domain, url) hash-aggregate "
+        "argmax over the handful of matched candidate rows per URL",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "warc_extract": (
         "WARC ingest: the ONE Exchange is the writer's groupBy(blob_id) "
         "record packer; the reader (framing walk + HTTP parse + strip) "

@@ -559,3 +559,33 @@ def test_warc_roundtrip_framing(spark):
             assert r.http_status == 200
             assert r.content_type == "text/html; charset=utf-8"
             assert r.payload == page_html(did, f"alpha beta gamma delta {did}")
+
+
+def test_robots_gate_rfc9309_semantics(spark):
+    """Longest-match wins; allow beats disallow on the /u/1-vs-/u/
+    override; unmatched URLs pass with a null rule; crawl_delay is the
+    domain law."""
+    from newocr_spark.web.extract import q_robots_gate
+
+    rows = q_robots_gate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    saw_override = saw_block = False
+    for r in rows:
+        d = int(r.domain.split("site")[1].split(".")[0])
+        path = r.url.split(".example.com")[1]
+        assert r.crawl_delay == d % 5
+        if r.matched_rule is None:
+            assert r.allowed
+            assert not (path.startswith("/cat/") and d % 3 == 0)
+            assert not (path.startswith("/u/") and d % 2 == 0)
+        elif r.matched_rule == "/u/1":
+            assert r.allowed and d % 4 == 0 and path.startswith("/u/1")
+            saw_override = True
+        else:
+            assert not r.allowed
+            assert path.startswith(r.matched_rule)
+            saw_block = True
+    assert saw_block, "no disallowed rows - fixture lost its bite"
+    # the override needs a /u/1x URL on a d%4==0 domain in the frontier;
+    # assert it when present (sf0.001 has them)
+    assert saw_override
