@@ -11,6 +11,10 @@ Pipeline (each stage is the registered contract operator, so the whole
 job is declarative where the operator is, and shapes are the 100 TB ones
 documented in analytics/curation.py / analytics/dedup.py):
 
+  [--url-dedup] URL-level dedup at ingest (RefinedWeb, Penedo et al.
+      2023 §3.2: URL dedup BEFORE content dedup): collapse re-crawls by
+      canonical URL keeping the longest fetch, over the input's real
+      ``url`` column — MinHash never sees N copies of one page.
   [--c4-gate] C4 heuristic cleaning FIRST (Raffel et al. 2020): line
       filter + page rules rewrite each doc's text and drop junk pages
       before anything else runs — the cheapest gate, and running it at
@@ -115,6 +119,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "is exact integer arithmetic; ties share fate)",
     )
     p.add_argument(
+        "--url-dedup", action="store_true",
+        help="collapse re-crawls by canonical URL FIRST (RefinedWeb "
+        "§3.2 stage order: URL dedup before content dedup), keeping "
+        "the longest fetch per canonical URL (web/extract.url_dedup_pages)"
+        "; requires a 'url' column in the input table",
+    )
+    p.add_argument(
         "--c4-gate", action="store_true",
         help="run C4 heuristic cleaning (curation.c4_clean) before every "
         "other stage: junk pages drop, surviving pages keep only their "
@@ -178,6 +189,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     docs = spark.read.parquet(args.documents)
+
+    # -2. URL-level dedup at ingest (opt-in; RefinedWeb §3.2 order: URL
+    # dedup BEFORE content dedup): collapse re-crawls by canonical URL,
+    # keeping the longest fetch, so MinHash never sees N copies of one
+    # page. Runs before even C4 — it needs no text semantics, and every
+    # later stage (signatures, band index, DSIR) sees one fetch per page.
+    if args.url_dedup:
+        if "url" not in docs.columns:
+            raise SystemExit(
+                "--url-dedup requires a 'url' column in the input table"
+            )
+        from newocr_spark.web.extract import url_dedup_pages
+
+        keep = url_dedup_pages(
+            docs.select("doc_id", "url", F.length("text").alias("n_chars"))
+        ).select(F.col("keep_doc_id").alias("doc_id"))
+        docs = docs.join(keep, "doc_id", "semi")
 
     # -1. C4 cleaning first (opt-in): one in-codegen projection, so it is
     # the cheapest stage and everything downstream — including the band

@@ -1024,7 +1024,15 @@ def url_dedup(docs: DataFrame) -> DataFrame:
     canon_url partitioning, so Catalyst plans a single Exchange; only
     (canon_url, doc_id, n_chars) ride it (never text), and the
     canonicalization above it is a narrow in-codegen projection."""
-    canon = url_canonical(_with_recrawl_urls(docs), extra=("n_chars",))
+    return url_dedup_pages(_with_recrawl_urls(docs))
+
+
+def url_dedup_pages(pages: DataFrame) -> DataFrame:
+    """Core of ``url_dedup`` over a REAL (doc_id, url, n_chars) table —
+    the shape a crawl corpus actually carries (jobs/curate_job.py's
+    --url-dedup stage feeds it directly; the contract query above feeds
+    it the deterministic re-crawl synthesis so DuckDB can certify it)."""
+    canon = url_canonical(pages, extra=("n_chars",))
     wkey = Window.partitionBy("canon_url")
     w = wkey.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (

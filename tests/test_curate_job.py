@@ -396,3 +396,50 @@ def test_curate_job_source_quota_caps_overcrawled_source(spark, tmp_path):
     # highest doc_ids win), intersected with what later stages sample in
     assert big_on == {d for d in big_off if d >= 8}
     assert sml_on == sum(1 for d in off if d >= 100)  # small source intact
+
+
+def test_curate_job_url_dedup_stage(spark, tmp_path):
+    """--url-dedup collapses re-crawl groups before anything else: with
+    a url column whose canonicalization collides in triples, at most one
+    doc per page group reaches the output; without the column the flag
+    is a loud SystemExit."""
+    import curate_job
+    from newocr_spark.web.extract import _with_recrawl_urls
+
+    docs = spark.read.parquet(SF_DOCS)
+    with_urls = docs.join(
+        _with_recrawl_urls(docs.select("doc_id", "n_chars")).select(
+            "doc_id", "url"
+        ),
+        "doc_id",
+    )
+    src = str(tmp_path / "docs_with_urls")
+    with_urls.write.parquet(src)
+
+    out = str(tmp_path / "url_deduped")
+    n = curate_job.main(
+        ["--documents", src, "--output", out, "--shards", "4",
+         "--url-dedup"],
+        spark=spark,
+    )
+    assert n > 0
+    got = spark.read.parquet(out)
+    groups = (
+        got.select((F.col("doc_id") / 3).cast("long").alias("page"))
+        .groupBy("page").count()
+    )
+    assert groups.filter(F.col("count") > 1).count() == 0
+    # strictly fewer docs than the same run without the stage
+    n_plain = curate_job.main(
+        ["--documents", src, "--output", str(tmp_path / "plain"),
+         "--shards", "4"],
+        spark=spark,
+    )
+    assert n < n_plain
+
+    with pytest.raises(SystemExit, match="url"):
+        curate_job.main(
+            ["--documents", SF_DOCS, "--output", str(tmp_path / "x"),
+             "--shards", "4", "--url-dedup"],
+            spark=spark,
+        )
