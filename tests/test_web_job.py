@@ -102,3 +102,56 @@ def test_html_col_fault_isolation(spark):
     assert [s.kind for s in out["d-good"]] == ["text"]
     assert [s.kind for s in out["d-bad"]] == ["error"]
     assert "TypeError" in out["d-bad"][0].text
+
+
+def test_warc_ingest_job_end_to_end(spark, tmp_path):
+    """WARC archive → documents(doc_id, spans): spans equal the direct
+    fixture-mode extraction for the same docs (doc_id keyed by
+    WARC-Target-URI), and the record inventory lands when asked."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+        ),
+    )
+    import warc_ingest_job
+    from pyspark.sql import functions as F
+
+    from newocr_spark.sources.warc import doc_uri
+    from newocr_spark.web.extract import html_to_documents
+
+    out = str(tmp_path / "docs_out")
+    inv = str(tmp_path / "records_out")
+    n = warc_ingest_job.main(
+        ["--synthesize-from", "/root/testdata/sf0.001/documents.parquet",
+         "--max-docs", "24", "--output", out, "--records-out", inv],
+        spark=spark,
+    )
+    assert n == 24
+    got = {r.doc_id: r.spans for r in spark.read.parquet(out).collect()}
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 24).select("doc_id", "text")
+    )
+    want = {
+        r.doc_id: r.spans for r in html_to_documents(src).collect()
+    }
+    assert len(got) == len(want) == 24
+    for did_int in range(24):
+        assert got[doc_uri(did_int)] == want[f"doc-{did_int:06d}"]
+    # no error spans leaked
+    assert all(
+        all(s.kind in ("text", "media") for s in spans)
+        for spans in got.values()
+    )
+    # inventory: 24 responses + one warcinfo per blob (24/4 = 6 blobs)
+    recs = spark.read.parquet(inv)
+    assert recs.filter(F.col("warc_type") == "response").count() == 24
+    assert recs.filter(F.col("warc_type") == "warcinfo").count() == 6
+    # misuse is loud
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="exactly one"):
+        warc_ingest_job.main(["--output", out], spark=spark)
