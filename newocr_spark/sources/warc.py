@@ -117,51 +117,56 @@ def synth_warc_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def walk_records(data: bytes) -> list[tuple]:
+    """Pure framing walk over one blob: Content-Length-delimited records
+    (ISO 28500 §4) — the payload may legally contain CRLFCRLF or even a
+    'WARC/1.0' line; only the length field delimits. Returns
+    (warc_type, target_uri, http_status, content_type, payload) per
+    record. Property-tested against adversarial payloads."""
+    sep = (CRLF * 2).encode()
+    rows, pos = [], 0
+    while pos < len(data):
+        hdr_end = data.find(sep, pos)
+        if hdr_end < 0:
+            break
+        lines = data[pos:hdr_end].decode("ascii").split(CRLF)
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields["content-length"])
+        body = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen + 4  # skip record-end CRLFCRLF
+        wtype = fields.get("warc-type", "")
+        status, ctype, payload = None, None, None
+        if wtype == "response":
+            he = body.find(sep)
+            hlines = body[:he].decode("ascii").split(CRLF)
+            status = int(hlines[0].split(" ")[1])
+            for ln in hlines[1:]:
+                k, _, v = ln.partition(":")
+                if k.strip().lower() == "content-type":
+                    ctype = v.strip()
+            payload = body[he + 4 :].decode("utf-8")
+        rows.append(
+            (wtype, fields.get("warc-target-uri"), status, ctype, payload)
+        )
+    return rows
+
+
 def parse_warc(blobs: DataFrame) -> DataFrame:
     """(blob_id, data:binary) → one row per WARC record:
     (blob_id, rec_idx, warc_type, target_uri, http_status, content_type,
     payload). Narrow mapInPandas — framing never crosses a batch."""
-    sep = (CRLF * 2).encode()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for blob_id, data in zip(pdf["blob_id"], pdf["data"]):
-                pos, idx = 0, 0
-                data = bytes(data)
-                while pos < len(data):
-                    hdr_end = data.find(sep, pos)
-                    if hdr_end < 0:
-                        break
-                    lines = data[pos:hdr_end].decode("ascii").split(CRLF)
-                    if not lines or not lines[0].startswith("WARC/"):
-                        break
-                    fields = {}
-                    for ln in lines[1:]:
-                        k, _, v = ln.partition(":")
-                        fields[k.strip().lower()] = v.strip()
-                    clen = int(fields["content-length"])
-                    body = data[hdr_end + 4 : hdr_end + 4 + clen]
-                    pos = hdr_end + 4 + clen + 4  # skip record-end CRLFCRLF
-                    wtype = fields.get("warc-type", "")
-                    status, ctype, payload = None, None, None
-                    if wtype == "response":
-                        he = body.find(sep)
-                        hlines = body[:he].decode("ascii").split(CRLF)
-                        status = int(hlines[0].split(" ")[1])
-                        for ln in hlines[1:]:
-                            k, _, v = ln.partition(":")
-                            if k.strip().lower() == "content-type":
-                                ctype = v.strip()
-                        payload = body[he + 4 :].decode("utf-8")
-                    rows.append(
-                        (
-                            int(blob_id), idx, wtype,
-                            fields.get("warc-target-uri"), status, ctype,
-                            payload,
-                        )
-                    )
-                    idx += 1
+                for idx, rec in enumerate(walk_records(bytes(data))):
+                    rows.append((int(blob_id), idx) + rec)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -307,3 +307,34 @@ def test_custom_space_after_backtick_quirk():
     from newocr_spark.kernel.scan import scan_image_bytes
 
     assert scan_image_bytes(render_text_png(["` 0"], 2), get_model()) == "`0"
+
+
+# ---------------- WARC framing (sources/warc.py) ----------------
+
+_payload_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10**6), _payload_text), max_size=6))
+def test_warc_framing_roundtrip_adversarial(docs):
+    """Content-Length delimits, nothing else: payloads containing
+    CRLFCRLF, 'WARC/1.0' lines, or raw HTML must round-trip exactly
+    through pack → walk, record order and count preserved."""
+    from newocr_spark.sources.warc import (
+        doc_uri, response_record, walk_records, warcinfo_record,
+    )
+
+    # make payloads adversarial: embed framing lookalikes
+    bombs = ["\r\n\r\n", "WARC/1.0\r\nContent-Length: 0\r\n\r\n", "HTTP/1.1 200 OK"]
+    blob = warcinfo_record(7)
+    expect = [("warcinfo", None, None, None, None)]
+    for i, (did, text) in enumerate(docs):
+        payload = text + bombs[i % len(bombs)] + text
+        blob += response_record(did, payload)
+        expect.append(
+            ("response", doc_uri(did), 200, "text/html; charset=utf-8", payload)
+        )
+    got = walk_records(blob)
+    assert got == expect
