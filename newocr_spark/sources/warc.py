@@ -44,8 +44,13 @@ CRLF = "\r\n"
 
 def _uuid(kind: str, n: int) -> str:
     """Deterministic RFC-4122-shaped record id (the spec requires a
-    globally unique URI; a content-derived one keeps the fixture pure)."""
-    return f"<urn:uuid:00000000-0000-4000-8000-{hash((kind, n)) & 0xFFFFFFFFFFFF:012x}>"
+    globally unique URI; a content-derived digest keeps the fixture pure
+    ACROSS processes — Python's builtin hash() is salted per interpreter
+    and would make blobs differ between runs/executors)."""
+    import hashlib
+
+    h = hashlib.md5(f"{kind}:{n}".encode()).hexdigest()[:12]
+    return f"<urn:uuid:00000000-0000-4000-8000-{h}>"
 
 
 def doc_uri(doc_id: int) -> str:
