@@ -763,6 +763,7 @@ def _register_web_queries() -> None:
     QUERIES["crawl_frontier"] = W.q_crawl_frontier
     QUERIES["warc_extract"] = W.q_warc_extract
     QUERIES["robots_gate"] = W.q_robots_gate
+    QUERIES["anchor_text"] = W.q_anchor_text
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -779,6 +780,7 @@ def _register_web_queries() -> None:
     # same closed-form law certifies framing + HTTP parse + strip
     ORACLES["warc_extract"] = W.html_main_text_sql()
     ORACLES["robots_gate"] = W.robots_gate_sql()
+    ORACLES["anchor_text"] = W.anchor_text_sql()
     ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()

@@ -1401,3 +1401,56 @@ LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
 JOIN dom d ON p2.domain = d.domain
 ORDER BY p2.domain, p2.rank
 """
+
+
+ANCHOR_MAX_TERMS = 16
+
+
+def q_anchor_text(
+    spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
+    max_terms: int = ANCHOR_MAX_TERMS, partitions: int | None = None,
+) -> DataFrame:
+    """Anchor-text harvesting per target URL — the training signal crawl
+    pipelines aggregate alongside main text (anchor text describes the
+    TARGET page; it is the classic relevance signal from the original
+    PageRank-era indexes onward): per href, the distinct anchor strings
+    collected, sorted, capped at ``max_terms``, and joined into one
+    anchor corpus line.
+
+    Output: (href, n_anchor_variants, anchor_corpus).
+
+    100 TB shape: one (href) hash-aggregate; collect_set's map-side
+    partials bound the hot-chrome-href skew the same way linkgraph's
+    counts do (each task contributes its distinct set, not its
+    occurrence list), and slice() caps the row width so one wildly
+    polysemous target cannot produce an unbounded cell."""
+    links = q_html_links(spark, sf_dir, max_docs, partitions)
+    anchors = F.slice(
+        F.array_sort(F.collect_set("anchor")), 1, max_terms
+    )
+    return (
+        links.groupBy("href")
+        .agg(
+            F.countDistinct("anchor").cast("long")
+            .alias("n_anchor_variants"),
+            F.array_join(anchors, " | ").alias("anchor_corpus"),
+        )
+        .orderBy("href")
+    )
+
+
+def anchor_text_sql(
+    max_docs: int = HTML_MAX_DOCS, max_terms: int = ANCHOR_MAX_TERMS,
+) -> str:
+    """Oracle: the links inventory, distinct anchors sorted/capped per
+    href with the same separator."""
+    return f"""
+WITH links AS ({html_links_sql(max_docs)}),
+d AS (SELECT DISTINCT href, anchor FROM links)
+SELECT href,
+       CAST(count(*) AS BIGINT) AS n_anchor_variants,
+       array_to_string(
+         (list_sort(list(anchor)))[1:{max_terms}], ' | ') AS anchor_corpus
+FROM d GROUP BY href
+ORDER BY href
+"""

@@ -196,6 +196,14 @@ CHECKS = {
         ["HashAggregate", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
     ),
+    "anchor_text": (
+        "anchor harvest: ONE (href) hash-aggregate; collect_set's "
+        "map-side partials bound hot-chrome-href skew (each task ships "
+        "its distinct set, not its occurrence list) and slice() caps "
+        "the cell width",
+        ["MapInPandas", "HashAggregate", "Exchange"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+    ),
     "robots_gate": (
         "RFC 9309 gate: robots rules are O(domains) so the rule join "
         "broadcasts; longest-match is one (domain, url) hash-aggregate "

@@ -589,3 +589,34 @@ def test_robots_gate_rfc9309_semantics(spark):
     # the override needs a /u/1x URL on a d%4==0 domain in the frontier;
     # assert it when present (sf0.001 has them)
     assert saw_override
+
+
+def test_anchor_text_cap_and_order(spark):
+    """The anchor corpus is the SORTED distinct set, capped at max_terms
+    while n_anchor_variants still counts all variants."""
+    from newocr_spark.web.extract import q_anchor_text
+
+    full = {
+        r.href: r
+        for r in q_anchor_text(
+            spark, "/root/testdata/sf0.001", max_docs=64
+        ).collect()
+    }
+    capped = {
+        r.href: r
+        for r in q_anchor_text(
+            spark, "/root/testdata/sf0.001", max_docs=64, max_terms=4
+        ).collect()
+    }
+    assert set(full) == set(capped)
+    saw_cap = False
+    for href, r in full.items():
+        terms = r.anchor_corpus.split(" | ")
+        assert terms == sorted(terms)
+        assert len(terms) == min(r.n_anchor_variants, 16)
+        c = capped[href]
+        assert c.n_anchor_variants == r.n_anchor_variants
+        assert c.anchor_corpus.split(" | ") == terms[:4]
+        if r.n_anchor_variants > 4:
+            saw_cap = True
+    assert saw_cap
