@@ -620,3 +620,54 @@ def test_anchor_text_cap_and_order(spark):
         if r.n_anchor_variants > 4:
             saw_cap = True
     assert saw_cap
+
+
+def test_url_canonical_crosscheck_random(spark):
+    """300 seeded-random messy URLs through the JVM canonicalizer vs an
+    independent literal-Python transcription of the documented rules —
+    catches any divergence between the higher-order-expression pipeline
+    and the spec it claims."""
+    import random
+    import re
+
+    from newocr_spark.web.extract import url_canonical
+
+    def reference(url: str) -> str:
+        no_frag = url.split("#", 1)[0]
+        scheme, _, rest = no_frag.partition("://")
+        scheme = scheme.lower()
+        hostpath, _, query = rest.partition("?")
+        host, slash, rawpath = hostpath.partition("/")
+        host = host.lower()
+        host = re.sub(r"^www\.", "", host)
+        host = re.sub(r":(443|80)$", "", host)
+        path = "" if not slash or rawpath == "" else "/" + re.sub(
+            "/$", "", rawpath
+        )
+        params = sorted(
+            p for p in query.split("&") if p and not p.startswith("utm_")
+        )
+        q = "?" + "&".join(params) if params else ""
+        return f"{scheme}://{host}{path}{q}"
+
+    rng = random.Random(20260820)
+    schemes = ["http", "https", "HTTPS", "Http"]
+    hosts = ["www.Ex.COM", "ex.com", "WWW.SITE9.example.com", "a.b.c"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/a", "/a/", "/a/b", "/a/b//", "/p/7"]
+    queries = [
+        "", "?", "?a=1", "?b=2&a=1", "?utm_x=9", "?utm_x=9&z=0&a=1",
+        "?a=1&a=1&", "?z=1&utm_source=f&b=3",
+    ]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(urls)), "doc_id bigint, url string"
+    )
+    got = {r.doc_id: r.canon_url for r in url_canonical(docs).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == reference(u), (u, got[i], reference(u))
