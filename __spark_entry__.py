@@ -12,13 +12,13 @@ oracle_sql()       — DuckDB-equivalent SQL per query. The OCR flagship IS
                      span table in pure SQL (recognized text must equal the
                      rendered source text), so CORRECTNESS_r{N} directly
                      gates recognition fidelity. The only rows-only
-                     entries are the five seed-dependent approximate
+                     entries are the six seed-dependent approximate
                      paths (ann_lsh, ann_ivf, embed_lsh_neardup,
-                     ann_recall, neardup_recall); their verifiable halves
-                     are oracle-green via the must-be-empty
-                     certifications (neardup_lsh_precision,
-                     ann_cosine_check) and their recall floors are pinned
-                     in pytest.
+                     ann_recall, neardup_recall, semdedup); their
+                     verifiable halves are oracle-green via the
+                     must-be-empty certifications (neardup_lsh_precision,
+                     ann_cosine_check, semdedup_check) and their recall
+                     floors are pinned in pytest.
 """
 
 from __future__ import annotations
