@@ -1297,8 +1297,9 @@ def q_robots_gate(
     declaratively (split → explode → prefix tests), not in Python.
 
     Output: (domain, url, n_refs, rank, allowed, matched_rule,
-    crawl_delay) — the fetch scheduler's input, ordered like the
-    frontier.
+    crawl_delay, fetch_at) — the fetch schedule itself: the k-th ALLOWED
+    url per domain fetches at (k-1)*crawl_delay seconds, disallowed rows
+    get no slot. Ordered like the frontier.
 
     100 TB shape: rules are O(|domains| × rules-per-domain) — tiny — so
     the rule join broadcasts; the longest-match argmax is one
@@ -1343,16 +1344,30 @@ def q_robots_gate(
             F.col("m.p").alias("matched_rule"),
         )
     )
+    gated = paths.join(matched, ["domain", "url"], "left").select(
+        "domain", "url", "n_refs", "rank",
+        F.coalesce(F.col("best_allow"), F.lit(True)).alias("allowed"),
+        "matched_rule",
+        F.pmod(
+            F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
+            F.lit(5),
+        ).alias("crawl_delay"),
+    )
+    # fetch schedule: the k-th ALLOWED url per domain fetches at
+    # (k-1)*crawl_delay seconds (RFC 9309 Crawl-delay politeness);
+    # disallowed rows never get a slot. A running sum over the existing
+    # rank order numbers the allowed subset densely without a second
+    # join — same partitioning as the frontier window, no new exchange.
+    wseq = Window.partitionBy("domain").orderBy("rank") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fetch_seq = F.sum(F.col("allowed").cast("long")).over(wseq)
     return (
-        paths.join(matched, ["domain", "url"], "left")
-        .select(
-            "domain", "url", "n_refs", "rank",
-            F.coalesce(F.col("best_allow"), F.lit(True)).alias("allowed"),
-            "matched_rule",
-            F.pmod(
-                F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
-                F.lit(5),
-            ).alias("crawl_delay"),
+        gated.select(
+            "*",
+            F.when(
+                F.col("allowed"),
+                ((fetch_seq - 1) * F.col("crawl_delay")).cast("long"),
+            ).alias("fetch_at"),
         )
         .orderBy("domain", "rank")
     )
@@ -1390,16 +1405,25 @@ m AS (
            ORDER BY len(r.p) DESC, r.a DESC, r.p DESC) AS rn
   FROM paths JOIN rules r
     ON paths.domain = r.domain AND starts_with(paths.path, r.p)
+),
+gated AS (
+  SELECT p2.domain, p2.url, p2.n_refs, p2.rank,
+         coalesce(m.a, TRUE) AS allowed,
+         m.p AS matched_rule,
+         CAST(d.d % 5 AS INT) AS crawl_delay
+  FROM paths p2
+  LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+    ON p2.domain = m.domain AND p2.url = m.url
+  JOIN dom d ON p2.domain = d.domain
 )
-SELECT p2.domain, p2.url, p2.n_refs, p2.rank,
-       coalesce(m.a, TRUE) AS allowed,
-       m.p AS matched_rule,
-       CAST(d.d % 5 AS INT) AS crawl_delay
-FROM paths p2
-LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
-  ON p2.domain = m.domain AND p2.url = m.url
-JOIN dom d ON p2.domain = d.domain
-ORDER BY p2.domain, p2.rank
+SELECT *,
+       CASE WHEN allowed THEN
+         CAST((sum(CASE WHEN allowed THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY domain ORDER BY rank
+                 ROWS UNBOUNDED PRECEDING) - 1) * crawl_delay AS BIGINT)
+       END AS fetch_at
+FROM gated
+ORDER BY domain, rank
 """
 
 

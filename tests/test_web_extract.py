@@ -671,3 +671,23 @@ def test_url_canonical_crosscheck_random(spark):
     got = {r.doc_id: r.canon_url for r in url_canonical(docs).collect()}
     for i, u in enumerate(urls):
         assert got[i] == reference(u), (u, got[i], reference(u))
+
+
+def test_robots_gate_fetch_schedule(spark):
+    """The k-th allowed URL per domain fetches at (k-1)*crawl_delay;
+    disallowed rows have no slot; the allowed sequence is dense."""
+    from newocr_spark.web.extract import q_robots_gate
+
+    rows = q_robots_gate(spark, "/root/testdata/sf0.001").collect()
+    bydom = {}
+    for r in rows:
+        bydom.setdefault(r.domain, []).append(r)
+    for dom, rs in bydom.items():
+        rs.sort(key=lambda r: r.rank)
+        k = 0
+        for r in rs:
+            if r.allowed:
+                assert r.fetch_at == k * r.crawl_delay, (dom, r)
+                k += 1
+            else:
+                assert r.fetch_at is None, (dom, r)
