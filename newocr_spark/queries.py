@@ -764,6 +764,7 @@ def _register_web_queries() -> None:
     QUERIES["warc_extract"] = W.q_warc_extract
     QUERIES["robots_gate"] = W.q_robots_gate
     QUERIES["anchor_text"] = W.q_anchor_text
+    QUERIES["sitemap_delta"] = W.q_sitemap_delta
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -781,6 +782,7 @@ def _register_web_queries() -> None:
     ORACLES["warc_extract"] = W.html_main_text_sql()
     ORACLES["robots_gate"] = W.robots_gate_sql()
     ORACLES["anchor_text"] = W.anchor_text_sql()
+    ORACLES["sitemap_delta"] = W.sitemap_delta_sql()
     ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()

@@ -1478,3 +1478,202 @@ SELECT href,
 FROM d GROUP BY href
 ORDER BY href
 """
+
+
+# sitemaps.org protocol: at most 50,000 URLs per sitemap file; larger
+# domains shard into sitemap-0.xml, sitemap-1.xml, ... behind an index
+SITEMAP_URLS_PER_FILE = 50_000
+# phantom (listed-but-never-crawled) pages live past every real page id:
+# max real page id is |documents|/3, far below this at any tested sf
+SITEMAP_PHANTOM_BASE = 100_000
+
+
+def _sitemap_xml(docs: DataFrame) -> DataFrame:
+    """Per-(domain, shard) sitemap XML synthesis — the FIXTURE side (a
+    real crawl fetches these files; the documents table carries none, so
+    the corpus is rebuilt as a pure function of doc_id exactly like
+    _with_recrawl_urls). Each domain lists every page it hosts
+    (p = doc_id // 3, domain p % 20 — the recrawl law) plus a phantom
+    page p + SITEMAP_PHANTOM_BASE for every p % 7 == 0: URLs the site
+    advertises that no crawl wave has fetched. <loc> values carry the
+    noise url_canonical strips (www., trailing slash, unsorted params)
+    so the parse→canonicalize path is exercised end to end; <lastmod>
+    and <priority> are closed-form functions of the page id. Entries are
+    sorted and files shard at the protocol's 50k-URL cap.
+
+    Generation is one (domain, shard) hash-aggregate over id-sized rows
+    — fixture-only cost; the OPERATOR under test is the parser below."""
+    p = F.floor(F.col("doc_id") / F.lit(3)).cast("long")
+    pages = docs.select(p.alias("pid")).distinct()
+    phantom = pages.filter(F.pmod("pid", F.lit(7)) == 0).select(
+        (F.col("pid") + F.lit(SITEMAP_PHANTOM_BASE)).alias("pid")
+    )
+    listed = pages.unionByName(phantom)
+    pid = F.col("pid")
+    entry = F.concat(
+        F.lit("<url><loc>https://www.site"),
+        F.pmod(pid, F.lit(20)).cast("string"),
+        F.lit(".example.com/p/"),
+        pid.cast("string"),
+        F.lit("/?z=2&a="),
+        F.pmod(pid, F.lit(5)).cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("2026-01-01")),
+                F.pmod(pid, F.lit(365)).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod><priority>"),
+        F.format_string(
+            "%.1f", F.lit(0.5) + F.pmod(pid, F.lit(5)) / F.lit(10.0)
+        ),
+        F.lit("</priority></url>\n"),
+    )
+    return (
+        listed.select(
+            F.pmod(pid, F.lit(20)).alias("d"),
+            F.floor(pid / F.lit(SITEMAP_URLS_PER_FILE)).alias("shard"),
+            entry.alias("e"),
+        )
+        .groupBy("d", "shard")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                ),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+
+
+def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven discovery delta — the scheduled-discovery
+    complement to the link-driven crawl_frontier: parse every domain's
+    sitemap files, canonicalize the advertised URLs, and classify each
+    against the URL-deduped crawl (``crawled`` = some fetch of the page
+    exists; ``new`` = advertised but never fetched — the rows a
+    sitemap-aware scheduler feeds into the next wave, with the
+    freshness/priority hints the site itself published).
+
+    Output: (domain, url, lastmod, priority, status) per advertised URL,
+    url in canonical form, ordered by (domain, url).
+
+    100 TB shape: the parse is a narrow in-codegen chain per sitemap
+    file — regexp_extract_all block split (Generate, no exchange) then
+    per-block field extracts — and the protocol's 50k-URL-per-file cap
+    bounds any single cell/task; canonicalization is the same shuffle-
+    free projection url_canonical compiles everywhere else. The only
+    wide ops are the crawled-set distinct (one hash-aggregate whose
+    map-side partials collapse the 3x recrawl fanout before the
+    exchange) and the status equi-join on canon_url — sort-merge at
+    crawl scale, never a cartesian; text never rides either."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    files = _sitemap_xml(docs)
+    blocks = files.select(
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(r"<url>(.*?)</url>"), 1)
+        ).alias("b")
+    )
+    parsed = blocks.select(
+        F.regexp_extract("b", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("b", r"<loc>([^<]*)</loc>", 1).alias("url"),
+        F.regexp_extract("b", r"<lastmod>([^<]*)</lastmod>", 1)
+        .alias("lastmod"),
+        F.regexp_extract("b", r"<priority>([^<]*)</priority>", 1)
+        .cast("double").alias("priority"),
+    )
+    adv = url_canonical(parsed, extra=("lastmod", "priority"))
+    crawled = (
+        url_canonical(_with_recrawl_urls(docs))
+        .select("canon_url").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        adv.join(crawled, "canon_url", "left")
+        .select(
+            F.concat(
+                F.lit("site"),
+                F.pmod("doc_id", F.lit(20)).cast("string"),
+                F.lit(".example.com"),
+            ).alias("domain"),
+            F.col("canon_url").alias("url"),
+            "lastmod",
+            "priority",
+            F.when(F.col("hit"), F.lit("crawled"))
+            .otherwise(F.lit("new")).alias("status"),
+        )
+        .orderBy("domain", "url")
+    )
+
+
+def sitemap_delta_sql() -> str:
+    """Oracle: the identical synthesis (same entry law, same sort, same
+    50k sharding), the identical regexp block parse, the shared
+    canonicalization chain over the PARSED <loc> text (full round trip —
+    nothing is closed-formed away), and the same crawled-set join. The
+    crawled side uses the canon law directly (url_dedup_sql already
+    certifies that the messy recrawl variants canonicalize to it)."""
+    parse_cte = f"""
+  SELECT CAST(regexp_extract(b, '/p/(\\d+)', 1) AS BIGINT) AS doc_id,
+         regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+         regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+         CAST(regexp_extract(b, '<priority>([^<]*)</priority>', 1)
+              AS DOUBLE) AS priority
+  FROM (
+    SELECT unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+    FROM (
+      SELECT d, shard,
+             '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+             '<urlset xmlns='
+             || '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+             || chr(10) || string_agg(e, '' ORDER BY e) || '</urlset>'
+               AS xml
+      FROM (
+        SELECT pid % 20 AS d,
+               pid // {SITEMAP_URLS_PER_FILE} AS shard,
+               '<url><loc>https://www.site' || (pid % 20)
+               || '.example.com/p/' || pid || '/?z=2&a=' || (pid % 5)
+               || '</loc><lastmod>'
+               || strftime(DATE '2026-01-01'
+                           + (pid % 365) * INTERVAL 1 DAY, '%Y-%m-%d')
+               || '</lastmod><priority>'
+               || printf('%.1f', 0.5 + (pid % 5) / 10.0)
+               || '</priority></url>' || chr(10) AS e
+        FROM (
+          SELECT pid FROM (
+            SELECT DISTINCT doc_id // 3 AS pid FROM documents)
+          UNION ALL
+          SELECT pid + {SITEMAP_PHANTOM_BASE} AS pid FROM (
+            SELECT DISTINCT doc_id // 3 AS pid FROM documents)
+          WHERE pid % 7 = 0
+        )
+      )
+      GROUP BY d, shard
+    )
+  )
+"""
+    return _canon_chain_sql(parse_cte, carry=", lastmod, priority") + """
+, crawled AS (
+  SELECT DISTINCT
+         'https://site' || ((doc_id // 3) % 20) || '.example.com/p/'
+         || (doc_id // 3) || '?a=' || ((doc_id // 3) % 5) || '&z=2'
+           AS canon_url
+  FROM documents
+)
+SELECT 'site' || (c.doc_id % 20) || '.example.com' AS domain,
+       c.canon_url AS url,
+       c.lastmod,
+       c.priority,
+       CASE WHEN cr.canon_url IS NOT NULL THEN 'crawled' ELSE 'new' END
+         AS status
+FROM canon c LEFT JOIN crawled cr ON c.canon_url = cr.canon_url
+ORDER BY domain, url
+"""

@@ -196,6 +196,17 @@ CHECKS = {
         ["HashAggregate", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"],
     ),
+    "sitemap_delta": (
+        "sitemap discovery delta: the XML parse is a narrow in-codegen "
+        "regexp chain (block Generate + field extracts, protocol's "
+        "50k-URL file cap bounds any cell); canonicalization is the "
+        "shared shuffle-free projection; the only wide ops are the "
+        "crawled-set distinct hash-aggregate and the status equi-join "
+        "on canon_url — no Python anywhere",
+        ["Generate", "HashAggregate", "Exchange"],
+        ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+         "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "anchor_text": (
         "anchor harvest: ONE (href) hash-aggregate; collect_set's "
         "map-side partials bound hot-chrome-href skew (each task ships "

@@ -691,3 +691,37 @@ def test_robots_gate_fetch_schedule(spark):
                 k += 1
             else:
                 assert r.fetch_at is None, (dom, r)
+
+
+def test_sitemap_delta_laws(spark):
+    """The delta covers EVERY hosted page exactly once in canonical
+    form; phantoms (the p%7==0 advertisements past SITEMAP_PHANTOM_BASE)
+    are the 'new' rows and only they; lastmod/priority survive the XML
+    round trip as the closed-form page-id laws."""
+    import datetime
+
+    from newocr_spark.web.extract import SITEMAP_PHANTOM_BASE, q_sitemap_delta
+
+    rows = q_sitemap_delta(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        pid = int(r.url.split("/p/")[1].split("?")[0])
+        assert pid not in seen, "advertised page listed twice"
+        seen.add(pid)
+        d = pid % 20
+        assert r.domain == f"site{d}.example.com"
+        # canonical form: no www., no port, no trailing slash, params
+        # sorted, no fragment
+        assert r.url == f"https://site{d}.example.com/p/{pid}?a={pid % 5}&z=2"
+        assert r.status == ("new" if pid >= SITEMAP_PHANTOM_BASE else "crawled")
+        if pid >= SITEMAP_PHANTOM_BASE:
+            assert (pid - SITEMAP_PHANTOM_BASE) % 7 == 0
+        exp = datetime.date(2026, 1, 1) + datetime.timedelta(days=pid % 365)
+        assert r.lastmod == exp.isoformat()
+        assert r.priority == 0.5 + (pid % 5) / 10.0
+    # every crawled page p = doc_id//3 is advertised, plus its phantom
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = {int(x[0]) // 3 for x in docs.select("doc_id").collect()}
+    expect = pages | {p + SITEMAP_PHANTOM_BASE for p in pages if p % 7 == 0}
+    assert seen == expect
