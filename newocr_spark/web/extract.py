@@ -845,7 +845,10 @@ def url_canonical(pages: DataFrame, extra: tuple = ()) -> DataFrame:
     plus the tracking-param strip crawl pipelines add):
 
     * scheme + host lowercased, leading ``www.`` dropped
-    * explicit default ports (``:443``/``:80``) dropped
+    * the scheme's OWN explicit default port dropped (``:443`` for
+      https, ``:80`` for http — RFC 3986 §6.2.3 default-port elision is
+      scheme-relative; ``https://h:80`` is a different origin than
+      ``https://h`` and stays distinct)
     * trailing slash trimmed from non-root paths
     * fragment dropped
     * query: ``utm_*`` tracking params removed, the rest SORTED (param
@@ -867,7 +870,11 @@ def url_canonical(pages: DataFrame, extra: tuple = ()) -> DataFrame:
     query = F.get(F.split(rest, r"\?", 2), 1)  # NULL when no '?'
     host = F.lower(F.split(hostpath, "/", 2).getItem(0))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(443|80)$", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
     path = F.get(F.split(hostpath, "/", 2), 1)  # NULL when bare host
     path = F.when(
         path.isNull() | (path == ""), F.lit("")
@@ -921,28 +928,42 @@ parts AS (
   FROM pages
 ),
 sp AS (
+  -- keep everything after the FIRST '://' (limit-2 split on the Spark
+  -- side): string_split(...)[2] would truncate a rest that itself
+  -- contains '://' (e.g. a redirect-style ?next=https://... param)
   SELECT doc_id, url{carry},
          lower(string_split(no_frag, '://')[1]) AS scheme,
-         string_split(no_frag, '://')[2] AS rest
+         CASE WHEN strpos(no_frag, '://') > 0
+              THEN substr(no_frag, strpos(no_frag, '://') + 3) END AS rest
   FROM parts
 ),
 hq AS (
+  -- same limit-2 semantics for '?': the query is everything after the
+  -- first one, later '?'s included
   SELECT doc_id, url{carry}, scheme,
-         string_split(rest, '?')[1] AS hostpath,
-         CASE WHEN len(string_split(rest, '?')) > 1
-              THEN string_split(rest, '?')[2] END AS query
+         CASE WHEN strpos(rest, '?') > 0
+              THEN left(rest, strpos(rest, '?') - 1)
+              ELSE rest END AS hostpath,
+         CASE WHEN strpos(rest, '?') > 0
+              THEN substr(rest, strpos(rest, '?') + 1) END AS query
   FROM sp
 ),
 hp AS (
   SELECT doc_id, url{carry}, scheme, query,
-         regexp_replace(
+         CASE scheme
+           WHEN 'https' THEN regexp_replace(h, ':443$', '')
+           WHEN 'http'  THEN regexp_replace(h, ':80$', '')
+           ELSE h END AS host,
+         rawpath
+  FROM (
+    SELECT doc_id, url{carry}, scheme, query,
            regexp_replace(lower(string_split(hostpath, '/')[1]),
-                          '^www\\.', ''),
-           ':(443|80)$', '') AS host,
-         CASE WHEN len(string_split(hostpath, '/')) > 1
-              THEN array_to_string(string_split(hostpath, '/')[2:], '/')
-              END AS rawpath
-  FROM hq
+                          '^www\\.', '') AS h,
+           CASE WHEN len(string_split(hostpath, '/')) > 1
+                THEN array_to_string(string_split(hostpath, '/')[2:], '/')
+                END AS rawpath
+    FROM hq
+  )
 ),
 norm AS (
   SELECT doc_id, url{carry}, scheme, host, query,
@@ -987,7 +1008,7 @@ def _with_recrawl_urls(docs: DataFrame) -> DataFrame:
             F.lit("HTTPS://Site"), dom, F.lit(".Example.COM:443/p/"), ps,
             F.lit("/?utm_source=feed&z=2&a="), a))
         .otherwise(F.concat(
-            F.lit("https://WWW.SITE"), dom, F.lit(".example.com:80/p/"), ps,
+            F.lit("https://WWW.SITE"), dom, F.lit(".example.com/p/"), ps,
             F.lit("?z=2&utm_campaign=x&a="), a))
     )
     url = F.concat(url, F.lit("#c"), did.cast("string"))
@@ -1004,7 +1025,7 @@ _RECRAWL_PAGES_SQL = """
                 || '.Example.COM:443/p/' || (doc_id // 3)
                 || '/?utm_source=feed&z=2&a=' || ((doc_id // 3) % 5)
            ELSE 'https://WWW.SITE' || ((doc_id // 3) % 20)
-                || '.example.com:80/p/' || (doc_id // 3)
+                || '.example.com/p/' || (doc_id // 3)
                 || '?z=2&utm_campaign=x&a=' || ((doc_id // 3) % 5)
          END || '#c' || doc_id AS url,
          n_chars

@@ -444,6 +444,10 @@ def test_url_canonical_rules(spark):
         (3, "https://Example.com/path?utm_source=x&utm_medium=y"),  # query empties
         (4, "https://example.com:8080/p?b=2&a=1"),  # NON-default port kept
         (5, "https://example.com/p/q"),
+        # default-port elision is scheme-relative: the OTHER scheme's
+        # default is a real, distinct origin and must survive
+        (6, "https://example.com:80/p"),
+        (7, "http://example.com:443/p"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, url string")
     out = {r.doc_id: r.canon_url for r in url_canonical(docs).collect()}
@@ -452,6 +456,8 @@ def test_url_canonical_rules(spark):
     assert out[3] == "https://example.com/path"
     assert out[4] == "https://example.com:8080/p?a=1&b=2"
     assert out[5] == "https://example.com/p/q"
+    assert out[6] == "https://example.com:80/p"
+    assert out[7] == "http://example.com:443/p"
     # canonical equality groups what a URL-dedup stage should group
     pair = [
         (10, "https://www.site.com/x?b=2&a=1"),
@@ -640,7 +646,11 @@ def test_url_canonical_crosscheck_random(spark):
         host, slash, rawpath = hostpath.partition("/")
         host = host.lower()
         host = re.sub(r"^www\.", "", host)
-        host = re.sub(r":(443|80)$", "", host)
+        # default-port elision is scheme-relative (RFC 3986 §6.2.3)
+        if scheme == "https":
+            host = re.sub(r":443$", "", host)
+        elif scheme == "http":
+            host = re.sub(r":80$", "", host)
         path = "" if not slash or rawpath == "" else "/" + re.sub(
             "/$", "", rawpath
         )
@@ -658,6 +668,8 @@ def test_url_canonical_crosscheck_random(spark):
     queries = [
         "", "?", "?a=1", "?b=2&a=1", "?utm_x=9", "?utm_x=9&z=0&a=1",
         "?a=1&a=1&", "?z=1&utm_source=f&b=3",
+        # repeated separators: the query may itself contain '?' / '://'
+        "?next=https://ex.com/cb&a=1", "?q=a?b",
     ]
     frags = ["", "#f", "#a#b"]
     urls = [
