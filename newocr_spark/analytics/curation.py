@@ -664,12 +664,24 @@ def dsir_weights(
         "is_t",
         F.pmod(_h60(F.col("gram")), F.lit(k_buckets)).alias("bucket"),
     )
-    db = grams.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    # ONE reduced frame feeds every aggregate below (is_t is constant
+    # per doc so it rides the (doc_id, bucket) key for free), and it
+    # materializes ONCE at a localCheckpoint seam: raw/tgt/tots/lwf all
+    # branch off it, and per-branch column pruning makes the optimized
+    # subtrees differ, so exchange reuse alone cannot dedupe them — each
+    # branch would re-run the tokenize+explode+hash corpus scan (the
+    # dominant cost at crawl scale). The seam stores only the already-
+    # reduced (doc_id, bucket, c, is_t) rows — <= k_buckets per doc.
+    db = grams.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("c"), F.max("is_t").alias("is_t")
+    ).localCheckpoint()
     raw = db.groupBy("bucket").agg(F.sum("c").alias("c_r"))
-    tgt = grams.filter("is_t").groupBy("bucket").agg(F.count("*").alias("c_t"))
-    tots = grams.agg(
-        F.count("*").alias("r_tot"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_tot"),
+    tgt = db.filter("is_t").groupBy("bucket").agg(
+        F.sum("c").alias("c_t")
+    )
+    tots = db.agg(
+        F.sum("c").alias("r_tot"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("t_tot"),
     )
     model = raw.join(tgt, "bucket", "left").select(
         "bucket",
@@ -700,12 +712,11 @@ def dsir_weights(
             ).alias("logweight"),
         )
     )
+    from .textstats import value_rank
+
     vals = lwf.groupBy("logweight").agg(F.count("*").alias("cnt"))
-    w = W.orderBy(F.desc("logweight")).rowsBetween(W.unboundedPreceding, 0)
     tot = vals.agg(F.sum("cnt").alias("tot"))
-    ranked = vals.select(
-        "logweight", (F.sum("cnt").over(w) - F.col("cnt")).alias("n_above")
-    ).crossJoin(F.broadcast(tot))
+    ranked = value_rank(vals, "logweight").crossJoin(F.broadcast(tot))
     return lwf.join(F.broadcast(ranked), "logweight").select(
         "doc_id",
         "n_grams",

@@ -412,6 +412,35 @@ def _kmeans_centroids(
     return cent
 
 
+def _train_cells(source: DataFrame, n_cells: int, sample_size: int, seed: int):
+    """Shared IVF training step (ivf_ann_topk + semdedup): deterministic
+    bounded driver-side sample -> broadcast centroid matrix -> vectorized
+    cell-assignment pandas_udf against it. Returns (cent_broadcast,
+    cell_of) so callers can build further probes off the same centroids.
+    On a real deployment the centroids are trained once offline and
+    stored as a tiny dim table."""
+    spark = source.sparkSession
+    sample_rows = (
+        source.select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic regardless of partitioning
+        .limit(sample_size)
+        .collect()
+    )  # bounded driver pull: the k-means SAMPLE, never the corpus
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent_b = spark.sparkContext.broadcast(
+        _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
+    )
+
+    @F.pandas_udf(LongType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        cent = cent_b.value
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+
+    return cent_b, cell_of
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -431,24 +460,7 @@ def ivf_ann_topk(
     tiny dim table."""
     from pyspark.sql import Window
 
-    spark = embeddings.sparkSession
-    sample_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")  # deterministic regardless of partitioning
-        .limit(sample_size)
-        .collect()
-    )  # bounded driver pull: the k-means SAMPLE, never the corpus
-    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    cent_b = spark.sparkContext.broadcast(
-        _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
-    )
-
-    @F.pandas_udf(LongType())
-    def cell_of(emb: pd.Series) -> pd.Series:
-        cent = cent_b.value
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+    cent_b, cell_of = _train_cells(embeddings, n_cells, sample_size, seed)
 
     @F.pandas_udf("array<long>")
     def probe_cells(emb: pd.Series) -> pd.Series:
@@ -891,30 +903,13 @@ def semdedup(
 
     No reference analogue (NewOCR has no embedding ops) — public-practice
     citation only."""
-    spark = embeddings.sparkSession
     groups = _exact_vec_groups(embeddings)
     reps = embeddings.join(
         groups.filter(F.col("vec_id") == F.col("canon")).select("vec_id"),
         "vec_id",
         "left_semi",
     )
-    sample_rows = (
-        reps.select("vec_id", "embedding")
-        .orderBy("vec_id")  # deterministic regardless of partitioning
-        .limit(sample_size)
-        .collect()
-    )  # bounded driver pull: the k-means SAMPLE, never the corpus
-    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    cent_b = spark.sparkContext.broadcast(
-        _kmeans_centroids(sample, min(n_cells, len(sample)), seed=seed)
-    )
-
-    @F.pandas_udf(LongType())
-    def cell_of(emb: pd.Series) -> pd.Series:
-        cent = cent_b.value
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int64))
+    cent_b, cell_of = _train_cells(reps, n_cells, sample_size, seed)
 
     assigned = _spread(reps).select(
         "vec_id",

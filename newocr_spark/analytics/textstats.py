@@ -316,6 +316,30 @@ def unigram_logprob_sql() -> str:
     """
 
 
+def value_rank(
+    vals: DataFrame, value_col: str, partition_cols: tuple = ()
+) -> DataFrame:
+    """Strict-above rank over a (value, cnt) histogram — the shared core
+    of every percentile/quota rule here (quality_buckets, source_quota,
+    curation.dsir_weights): for each distinct value, the count of rows
+    with a strictly GREATER value (ties share fate, so the rule is
+    reproducible in pure SQL with no float-threshold interpolation to
+    disagree on). Input columns: (*partition_cols, value_col, cnt);
+    output: (*partition_cols, value_col, n_above). The input is already
+    a histogram, so the ORDER BY window runs over distinct values —
+    never over docs."""
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy(F.desc(value_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return vals.select(
+        *partition_cols,
+        value_col,
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_above"),
+    )
+
+
 def quality_buckets(docs: DataFrame) -> DataFrame:
     """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.3):
     split the corpus into equal thirds by LM score — 'head' is the
@@ -339,12 +363,9 @@ def quality_buckets(docs: DataFrame) -> DataFrame:
     frame. No global sort of the corpus anywhere."""
     lp = unigram_logprob(docs)
     vals = lp.groupBy("logprob").agg(F.count("*").alias("cnt"))
-    w = W.orderBy(F.desc("logprob")).rowsBetween(W.unboundedPreceding, 0)
     tot = vals.agg(F.sum("cnt").alias("tot"))
     ranked = (
-        vals.select(
-            "logprob", (F.sum("cnt").over(w) - F.col("cnt")).alias("n_above")
-        )
+        value_rank(vals, "logprob")
         .crossJoin(F.broadcast(tot))
         .select(
             "logprob",
@@ -1533,15 +1554,8 @@ def source_quota(docs: DataFrame, k: int = SOURCE_QUOTA_K) -> DataFrame:
     lp = unigram_logprob(docs).select("doc_id", "logprob")
     scored = docs.select("doc_id", "source").join(lp, "doc_id")
     vals = scored.groupBy("source", "logprob").agg(F.count("*").alias("cnt"))
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.desc("logprob"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    ranked = vals.select(
-        "source",
-        "logprob",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("n_better"),
+    ranked = value_rank(vals, "logprob", ("source",)).withColumnRenamed(
+        "n_above", "n_better"
     )
     return scored.join(F.broadcast(ranked), ["source", "logprob"]).select(
         "doc_id",

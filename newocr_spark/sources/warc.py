@@ -54,9 +54,10 @@ def _uuid(kind: str, n: int) -> str:
 
 
 def doc_uri(doc_id: int) -> str:
-    """Crawl URI for a doc — same host scheme as the recrawl synthesis
-    (web/extract._with_recrawl_urls) so the WARC corpus and the URL
-    analytics describe one crawl."""
+    """Crawl URI for a doc — the scalar twin of the single-sourced
+    column law in web/extract (_page_of/_domain_of, RECRAWL_FANOUT /
+    N_CRAWL_DOMAINS) so the WARC corpus and the URL analytics describe
+    one crawl."""
     return f"https://site{(doc_id // 3) % 20}.example.com/p/{doc_id}"
 
 

@@ -984,6 +984,28 @@ canon AS (
 """
 
 
+# crawl fixture law, single-sourced for the whole family (recrawl
+# synthesis, frontier, robots, sitemap; sources/warc.doc_uri is the
+# scalar twin): page p = doc_id // RECRAWL_FANOUT is hosted on domain
+# site{p % N_CRAWL_DOMAINS}.example.com
+RECRAWL_FANOUT = 3
+N_CRAWL_DOMAINS = 20
+
+
+def _page_of(doc_id: "F.Column") -> "F.Column":
+    """Page id hosting this fetch (the recrawl fanout collapse)."""
+    return F.floor(doc_id / F.lit(RECRAWL_FANOUT)).cast("long")
+
+
+def _domain_of(pid: "F.Column") -> "F.Column":
+    """Canonical (lower-case, bare) host for a page id."""
+    return F.concat(
+        F.lit("site"),
+        F.pmod(pid, F.lit(N_CRAWL_DOMAINS)).cast("string"),
+        F.lit(".example.com"),
+    )
+
+
 def _with_recrawl_urls(docs: DataFrame) -> DataFrame:
     """Re-crawl URL synthesis: page ``p = doc_id // 3`` is fetched up to
     three times (variant ``v = doc_id % 3``), each fetch differing ONLY in
@@ -995,9 +1017,9 @@ def _with_recrawl_urls(docs: DataFrame) -> DataFrame:
     of doc_id the oracle rebuilds byte-identically. ~20 synthetic domains
     host the pages (for the per-domain rollup)."""
     did = F.col("doc_id")
-    p = F.floor(did / F.lit(3)).cast("long")
-    v = F.pmod(did, F.lit(3))
-    dom = F.pmod(p, F.lit(20)).cast("string")
+    p = _page_of(did)
+    v = F.pmod(did, F.lit(RECRAWL_FANOUT))
+    dom = F.pmod(p, F.lit(N_CRAWL_DOMAINS)).cast("string")
     ps = p.cast("string")
     a = F.pmod(p, F.lit(5)).cast("string")
     url = (
@@ -1159,23 +1181,29 @@ def q_crawl_frontier(
     Output: (domain, url, n_refs, rank), rank 1..per_domain per domain.
 
     100 TB shape: anchors leave the narrow MapInPandas as (doc, href)
-    ids only; the (domain, url) hash-aggregate collapses duplicates
-    map-side; the seen-set join is an equi anti-join on url (the seen
-    side is a distinct projection, broadcast-eligible); the politeness
-    window shuffles only (domain, url, n_refs) rows already capped to
-    distinct URLs. Anchor text never rides any exchange."""
+    ids only and materialize ONCE at a localCheckpoint seam (the seen
+    and cand branches below both consume them — without the seam each
+    branch re-plans the subtree and the Python HTML parse runs twice);
+    the (domain, url) hash-aggregate collapses duplicates map-side; the
+    seen-set join is an equi anti-join on url (the seen side is a
+    distinct projection, broadcast-eligible); the politeness window
+    shuffles only (domain, url, n_refs) rows already capped to distinct
+    URLs. Anchor text never rides any exchange."""
     links = q_html_links(spark, sf_dir, max_docs, partitions)
     did = F.substring("doc_id", 5, 10).cast("long")
-    dom = F.concat(
-        F.lit("site"),
-        F.pmod(F.floor(did / F.lit(3)), F.lit(20)).cast("string"),
-        F.lit(".example.com"),
-    )
+    dom = _domain_of(_page_of(did))
     urls = links.filter(F.col("href") != "#").select(
         did.alias("did"),
         dom.alias("domain"),
         F.concat(F.lit("https://"), dom, F.col("href")).alias("url"),
     )
+    # seen and cand BOTH consume `urls`: without a materialization seam
+    # Spark re-plans the whole subtree per branch and the Python HTML
+    # parse (q_html_links' mapInPandas) runs twice — and 4x under
+    # q_robots_gate, which branches again above the frontier. The seam
+    # materializes only id-sized (did, domain, url) rows once; blocks
+    # are executor-local and freed by the ContextCleaner.
+    urls = urls.localCheckpoint()
     seen = urls.filter(F.col("did") < split).select("url").distinct()
     cand = (
         urls.filter(F.col("did") >= split)
@@ -1326,7 +1354,12 @@ def q_robots_gate(
     the rule join broadcasts; the longest-match argmax is one
     (domain, url) hash-aggregate over matched candidate rows (a handful
     per URL); the frontier's own exchanges dominate."""
-    frontier = q_crawl_frontier(spark, sf_dir, max_docs, split, per_domain)
+    # paths and matched both branch off the frontier; it is tiny
+    # (<= per_domain x |domains| rows), so materialize it once instead
+    # of re-planning the whole discovery subtree per branch
+    frontier = q_crawl_frontier(
+        spark, sf_dir, max_docs, split, per_domain
+    ).localCheckpoint()
     d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
     doms = frontier.select("domain").distinct().select(
         "domain", d.alias("d"), _robots_txt(d).alias("robots")
@@ -1524,17 +1557,16 @@ def _sitemap_xml(docs: DataFrame) -> DataFrame:
 
     Generation is one (domain, shard) hash-aggregate over id-sized rows
     — fixture-only cost; the OPERATOR under test is the parser below."""
-    p = F.floor(F.col("doc_id") / F.lit(3)).cast("long")
-    pages = docs.select(p.alias("pid")).distinct()
+    pages = docs.select(_page_of(F.col("doc_id")).alias("pid")).distinct()
     phantom = pages.filter(F.pmod("pid", F.lit(7)) == 0).select(
         (F.col("pid") + F.lit(SITEMAP_PHANTOM_BASE)).alias("pid")
     )
     listed = pages.unionByName(phantom)
     pid = F.col("pid")
     entry = F.concat(
-        F.lit("<url><loc>https://www.site"),
-        F.pmod(pid, F.lit(20)).cast("string"),
-        F.lit(".example.com/p/"),
+        F.lit("<url><loc>https://www."),
+        _domain_of(pid),
+        F.lit("/p/"),
         pid.cast("string"),
         F.lit("/?z=2&a="),
         F.pmod(pid, F.lit(5)).cast("string"),
@@ -1554,7 +1586,7 @@ def _sitemap_xml(docs: DataFrame) -> DataFrame:
     )
     return (
         listed.select(
-            F.pmod(pid, F.lit(20)).alias("d"),
+            F.pmod(pid, F.lit(N_CRAWL_DOMAINS)).alias("d"),
             F.floor(pid / F.lit(SITEMAP_URLS_PER_FILE)).alias("shard"),
             entry.alias("e"),
         )
@@ -1620,11 +1652,7 @@ def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adv.join(crawled, "canon_url", "left")
         .select(
-            F.concat(
-                F.lit("site"),
-                F.pmod("doc_id", F.lit(20)).cast("string"),
-                F.lit(".example.com"),
-            ).alias("domain"),
+            _domain_of(F.col("doc_id")).alias("domain"),
             F.col("canon_url").alias("url"),
             "lastmod",
             "priority",

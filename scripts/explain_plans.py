@@ -218,9 +218,11 @@ CHECKS = {
     "robots_gate": (
         "RFC 9309 gate: robots rules are O(domains) so the rule join "
         "broadcasts; longest-match is one (domain, url) hash-aggregate "
-        "argmax over the handful of matched candidate rows per URL",
-        ["BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "argmax over the handful of matched candidate rows per URL; the "
+        "tiny frontier materializes once at a localCheckpoint seam so "
+        "the paths/matched branches never re-run the discovery subtree",
+        ["BroadcastHashJoin", "HashAggregate", "Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
     ),
     "warc_extract": (
         "WARC ingest: the ONE Exchange is the writer's groupBy(blob_id) "
@@ -230,12 +232,16 @@ CHECKS = {
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
     "crawl_frontier": (
-        "incremental frontier: anchors leave the narrow MapInPandas as "
-        "ids only; (domain, url) hash-aggregate with map-side partials; "
-        "seen-set anti-join is a broadcast equi-join; the politeness "
-        "window shuffles only capped (domain, url, n_refs) rows",
-        ["MapInPandas", "HashAggregate", "BroadcastHashJoin", "Window"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "incremental frontier: the HTML parse materializes ONCE at the "
+        "urls localCheckpoint seam (id-sized rows; without it the seen/"
+        "cand branches would each re-run the Python parse), so the plan "
+        "roots at an ExistingRDD scan with NO MapInPandas; (domain, "
+        "url) hash-aggregate with map-side partials; seen-set anti-join "
+        "is a broadcast equi-join; the politeness window shuffles only "
+        "capped (domain, url, n_refs) rows",
+        ["Scan ExistingRDD", "HashAggregate", "BroadcastHashJoin",
+         "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
     ),
     "html_linkgraph": (
         "in-degree rollup: ONE (href) hash-aggregate with map-side "
@@ -368,13 +374,16 @@ CHECKS = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "dsir_weights": (
-        "grams hash-aggregate to (doc_id, bucket) counts before anything "
-        "joins; both bucket models (<= k rows) and the single-row totals "
-        "ride broadcasts; the selection threshold comes from a "
-        "(logweight, count) value histogram so the only ORDER BY window "
-        "runs over distinct values, never docs — no global sort, no "
-        "shuffle join anywhere",
-        ["HashAggregate", "BroadcastHashJoin", "Window"],
+        "grams hash-aggregate to (doc_id, bucket) counts and materialize "
+        "ONCE at a localCheckpoint seam (raw/target models, totals and "
+        "the per-doc score all branch off it — per-branch pruning makes "
+        "exchange reuse impossible, so without the seam each branch "
+        "re-runs the corpus tokenize); both bucket models (<= k rows) "
+        "and the single-row totals ride broadcasts; the selection "
+        "threshold comes from a (logweight, count) value histogram so "
+        "the only ORDER BY window runs over distinct values, never docs",
+        ["Scan ExistingRDD", "HashAggregate", "BroadcastHashJoin",
+         "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "mixture_weights": (
