@@ -1333,6 +1333,79 @@ def _robots_txt(d: "F.Column") -> "F.Column":
     )
 
 
+def robots_rules(domains: DataFrame) -> DataFrame:
+    """Parse each domain's (synthesized) robots.txt into exploded rule
+    rows (domain, rule_path, is_allow) — declaratively (split → explode
+    → verb filter), no Python. Tiny (O(|domains| × rules-per-domain));
+    consumers broadcast it. Shared by q_robots_gate and the
+    crawl-schedule job, which gates sitemap-advertised URLs with the
+    SAME rule set."""
+    d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
+    doms = domains.select("domain").distinct().select(
+        "domain", _robots_txt(d).alias("robots")
+    )
+    lines = doms.select(
+        "domain", F.explode(F.split("robots", "\n")).alias("line")
+    )
+    return lines.select(
+        "domain",
+        F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
+        F.trim(F.get(F.split("line", ":", 2), 1)).alias("rule_path"),
+    ).filter(
+        F.col("verb").isin("allow", "disallow") & (F.col("rule_path") != "")
+    ).select(
+        "domain", "rule_path", (F.col("verb") == "allow").alias("is_allow")
+    )
+
+
+def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """RFC 9309 verdict per (domain, url) row: match every URL's path
+    against its domain's rules, LONGEST match deciding — allow beating
+    disallow on equal length (§2.2.2 least-restrictive tie-break);
+    unmatched URLs are allowed. Input: (domain, url, *extra — threaded
+    through); output adds (allowed, matched_rule, crawl_delay).
+
+    100 TB shape: rules broadcast; the longest-match argmax is one
+    (domain, url) hash-aggregate over the handful of matched candidate
+    rows per URL."""
+    paths = urls.withColumn(
+        "path", F.regexp_replace("url", r"^https://[^/]+", "")
+    )
+    matched = (
+        paths.select("domain", "url", "path")
+        .join(F.broadcast(rules), "domain")
+        .filter(F.col("path").startswith(F.col("rule_path")))
+        .groupBy("domain", "url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("rule_path").alias("l"),
+                    F.col("is_allow").alias("a"),
+                    F.col("rule_path").alias("p"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "domain", "url", F.col("m.a").alias("best_allow"),
+            F.col("m.p").alias("matched_rule"),
+        )
+    )
+    return (
+        paths.join(matched, ["domain", "url"], "left")
+        .withColumn(
+            "allowed", F.coalesce(F.col("best_allow"), F.lit(True))
+        )
+        .withColumn(
+            "crawl_delay",
+            F.pmod(
+                F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
+                F.lit(5),
+            ),
+        )
+        .drop("best_allow", "path")
+    )
+
+
 def q_robots_gate(
     spark: SparkSession, sf_dir: str, max_docs: int = HTML_MAX_DOCS,
     split: int = CRAWL_WAVE_SPLIT, per_domain: int = FRONTIER_PER_DOMAIN,
@@ -1360,52 +1433,12 @@ def q_robots_gate(
     frontier = q_crawl_frontier(
         spark, sf_dir, max_docs, split, per_domain
     ).localCheckpoint()
-    d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
-    doms = frontier.select("domain").distinct().select(
-        "domain", d.alias("d"), _robots_txt(d).alias("robots")
-    )
-    lines = doms.select(
-        "domain", "d", F.explode(F.split("robots", "\n")).alias("line")
-    )
-    rules = lines.select(
-        "domain",
-        F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
-        F.trim(F.get(F.split("line", ":", 2), 1)).alias("rule_path"),
-    ).filter(
-        F.col("verb").isin("allow", "disallow") & (F.col("rule_path") != "")
+    rules = robots_rules(frontier.select("domain"))
+    gated = robots_gate_urls(
+        frontier.select("domain", "url", "n_refs", "rank"), rules
     ).select(
-        "domain", "rule_path", (F.col("verb") == "allow").alias("is_allow")
-    )
-    paths = frontier.select(
-        "domain", "url", "n_refs", "rank",
-        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
-    )
-    matched = (
-        paths.join(F.broadcast(rules), "domain")
-        .filter(F.col("path").startswith(F.col("rule_path")))
-        .groupBy("domain", "url")
-        .agg(
-            F.max(
-                F.struct(
-                    F.length("rule_path").alias("l"),
-                    F.col("is_allow").alias("a"),
-                    F.col("rule_path").alias("p"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "domain", "url", F.col("m.a").alias("best_allow"),
-            F.col("m.p").alias("matched_rule"),
-        )
-    )
-    gated = paths.join(matched, ["domain", "url"], "left").select(
-        "domain", "url", "n_refs", "rank",
-        F.coalesce(F.col("best_allow"), F.lit(True)).alias("allowed"),
-        "matched_rule",
-        F.pmod(
-            F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
-            F.lit(5),
-        ).alias("crawl_delay"),
+        "domain", "url", "n_refs", "rank", "allowed", "matched_rule",
+        "crawl_delay",
     )
     # fetch schedule: the k-th ALLOWED url per domain fetches at
     # (k-1)*crawl_delay seconds (RFC 9309 Crawl-delay politeness);

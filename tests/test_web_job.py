@@ -155,3 +155,88 @@ def test_warc_ingest_job_end_to_end(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="exactly one"):
         warc_ingest_job.main(["--output", out], spark=spark)
+
+
+def test_crawl_schedule_job_end_to_end(spark, tmp_path):
+    """Merged link+sitemap schedule: link rows reproduce q_robots_gate's
+    standalone fetch schedule EXACTLY (they sort first, so the dense
+    Crawl-delay numbering agrees); sitemap rows are precisely the 'new'
+    sitemap_delta URLs, gated by the same rules; and per domain the
+    allowed fetch_at sequence is dense (k-1)*crawl_delay over the merged
+    order with no slot for disallowed rows."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+        ),
+    )
+    import crawl_schedule_job
+
+    from newocr_spark.web.extract import q_robots_gate, q_sitemap_delta
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "schedule")
+    n = crawl_schedule_job.main(["--sf-dir", sf, "--output", out], spark=spark)
+    rows = spark.read.parquet(out).collect()
+    assert n == sum(1 for r in rows if r.allowed)
+
+    link_rows = {(r.domain, r.url): r for r in rows if r.source == "link"}
+    sm_rows = {(r.domain, r.url): r for r in rows if r.source == "sitemap"}
+
+    gate = {(r.domain, r.url): r for r in q_robots_gate(spark, sf).collect()}
+    assert set(link_rows) == set(gate)
+    for k, r in link_rows.items():
+        g = gate[k]
+        assert (r.allowed, r.matched_rule, r.crawl_delay, r.fetch_at) == (
+            g.allowed, g.matched_rule, g.crawl_delay, g.fetch_at
+        )
+
+    new = {
+        (r.domain, r.url): r
+        for r in q_sitemap_delta(spark, sf).collect()
+        if r.status == "new"
+    }
+    assert set(sm_rows) == set(new)
+    for k, r in sm_rows.items():
+        assert r.priority == new[k].priority
+        assert r.lastmod == new[k].lastmod
+        # /p/ paths match no synthesized Allow/Disallow prefix
+        assert r.allowed and r.matched_rule is None
+
+    # dense politeness schedule per domain over the merged order
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    for dom, rs in by_dom.items():
+        slots = sorted(r.fetch_at for r in rs if r.allowed)
+        delay = rs[0].crawl_delay
+        assert slots == [i * delay for i in range(len(slots))]
+        assert all(r.fetch_at is None for r in rs if not r.allowed)
+        # link rows fill the FIRST slots: every allowed link row
+        # schedules before every sitemap row of its domain (fetch_at is
+        # only an ordering witness when crawl_delay > 0 — a delay-0
+        # domain legitimately fetches everything at t=0)
+        if delay > 0:
+            link_max = max(
+                (r.fetch_at for r in rs if r.source == "link" and r.allowed),
+                default=-1,
+            )
+            sm_min = min(
+                (r.fetch_at for r in rs
+                 if r.source == "sitemap" and r.allowed),
+                default=None,
+            )
+            if sm_min is not None:
+                assert sm_min > link_max
+
+    # --no-sitemap collapses to the gate alone
+    out2 = str(tmp_path / "schedule2")
+    crawl_schedule_job.main(
+        ["--sf-dir", sf, "--output", out2, "--no-sitemap"], spark=spark
+    )
+    only = spark.read.parquet(out2)
+    assert only.filter("source = 'sitemap'").count() == 0
+    assert only.count() == len(link_rows)
