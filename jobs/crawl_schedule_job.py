@@ -68,7 +68,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "newocr-crawl-schedule"
         ).getOrCreate()
 
-    per_domain = args.per_domain or FRONTIER_PER_DOMAIN
+    per_domain = (
+        args.per_domain if args.per_domain is not None else FRONTIER_PER_DOMAIN
+    )
     links = q_robots_gate(
         spark, args.sf_dir, per_domain=per_domain
     ).select(
@@ -84,6 +86,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         new = q_sitemap_delta(spark, args.sf_dir).filter(
             F.col("status") == "new"
         ).select("domain", "url", "priority", "lastmod")
+        # a URL can be BOTH link-discovered and sitemap-advertised
+        # (sitemap_delta checks the crawled set, not the frontier);
+        # the link row wins — it carries the demand signal — so the
+        # sitemap side anti-joins away any (domain, url) already
+        # scheduled, keeping one fetch slot per URL
+        new = new.join(
+            links.select("domain", "url"), ["domain", "url"], "left_anti"
+        )
         # the sitemap rows pass the SAME robots gate (a sitemap listing
         # does not override robots.txt) — rules rebuilt over the union
         # of domains so a sitemap-only domain still gets its rule set

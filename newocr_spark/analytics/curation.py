@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from .dedup import H60_SQL, TOKENS_SQL, _h60, _shingles, _tokens, shingles_sql
 from .textstats import BPE_ISH
@@ -666,15 +665,21 @@ def dsir_weights(
     )
     # ONE reduced frame feeds every aggregate below (is_t is constant
     # per doc so it rides the (doc_id, bucket) key for free), and it
-    # materializes ONCE at a localCheckpoint seam: raw/tgt/tots/lwf all
+    # materializes ONCE at a checkpoint seam: raw/tgt/tots/lwf all
     # branch off it, and per-branch column pruning makes the optimized
     # subtrees differ, so exchange reuse alone cannot dedupe them — each
     # branch would re-run the tokenize+explode+hash corpus scan (the
     # dominant cost at crawl scale). The seam stores only the already-
-    # reduced (doc_id, bucket, c, is_t) rows — <= k_buckets per doc.
-    db = grams.groupBy("doc_id", "bucket").agg(
-        F.count("*").alias("c"), F.max("is_t").alias("is_t")
-    ).localCheckpoint()
+    # reduced (doc_id, bucket, c, is_t) rows — <= k_buckets per doc —
+    # reliably under a configured checkpoint dir (cluster case),
+    # executor-locally otherwise (local/test sessions).
+    from .dedup import stage_checkpoint
+
+    db = stage_checkpoint(
+        grams.groupBy("doc_id", "bucket").agg(
+            F.count("*").alias("c"), F.max("is_t").alias("is_t")
+        )
+    )
     raw = db.groupBy("bucket").agg(F.sum("c").alias("c_r"))
     tgt = db.filter("is_t").groupBy("bucket").agg(
         F.sum("c").alias("c_t")

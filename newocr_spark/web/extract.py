@@ -1201,9 +1201,13 @@ def q_crawl_frontier(
     # Spark re-plans the whole subtree per branch and the Python HTML
     # parse (q_html_links' mapInPandas) runs twice — and 4x under
     # q_robots_gate, which branches again above the frontier. The seam
-    # materializes only id-sized (did, domain, url) rows once; blocks
-    # are executor-local and freed by the ContextCleaner.
-    urls = urls.localCheckpoint()
+    # materializes only id-sized (did, domain, url) rows once; reliable
+    # checkpoint when the context has a checkpoint dir (cluster case —
+    # survives executor loss / dynamic deallocation), localCheckpoint
+    # otherwise (local/test sessions, blocks freed by ContextCleaner).
+    from ..analytics.dedup import stage_checkpoint
+
+    urls = stage_checkpoint(urls)
     seen = urls.filter(F.col("did") < split).select("url").distinct()
     cand = (
         urls.filter(F.col("did") >= split)
@@ -1368,8 +1372,13 @@ def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
     100 TB shape: rules broadcast; the longest-match argmax is one
     (domain, url) hash-aggregate over the handful of matched candidate
     rows per URL."""
+    # scheme-general authority strip (RFC 3986 scheme grammar) — this
+    # helper gates arbitrary URL frames, not just the https fixture; a
+    # hard-coded https prefix would leave non-https URLs with the full
+    # URL as "path", silently bypassing every Disallow rule
     paths = urls.withColumn(
-        "path", F.regexp_replace("url", r"^https://[^/]+", "")
+        "path",
+        F.regexp_replace("url", r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+", ""),
     )
     matched = (
         paths.select("domain", "url", "path")
@@ -1429,10 +1438,13 @@ def q_robots_gate(
     per URL); the frontier's own exchanges dominate."""
     # paths and matched both branch off the frontier; it is tiny
     # (<= per_domain x |domains| rows), so materialize it once instead
-    # of re-planning the whole discovery subtree per branch
-    frontier = q_crawl_frontier(
-        spark, sf_dir, max_docs, split, per_domain
-    ).localCheckpoint()
+    # of re-planning the whole discovery subtree per branch (reliable
+    # checkpoint under a configured dir, localCheckpoint otherwise)
+    from ..analytics.dedup import stage_checkpoint
+
+    frontier = stage_checkpoint(
+        q_crawl_frontier(spark, sf_dir, max_docs, split, per_domain)
+    )
     rules = robots_rules(frontier.select("domain"))
     gated = robots_gate_urls(
         frontier.select("domain", "url", "n_refs", "rank"), rules
@@ -1483,7 +1495,10 @@ rules AS (
   UNION ALL SELECT domain, '/private/', FALSE FROM dom
 ),
 paths AS (
-  SELECT f.*, regexp_replace(url, '^https://[^/]+', '') AS path FROM f
+  SELECT f.*,
+         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+', '')
+           AS path
+  FROM f
 ),
 m AS (
   SELECT paths.domain, paths.url, r.p, r.a,

@@ -737,3 +737,25 @@ def test_sitemap_delta_laws(spark):
     pages = {int(x[0]) // 3 for x in docs.select("doc_id").collect()}
     expect = pages | {p + SITEMAP_PHANTOM_BASE for p in pages if p % 7 == 0}
     assert seen == expect
+
+
+def test_robots_gate_urls_scheme_general(spark):
+    """The shared gate helper strips ANY RFC 3986 scheme's authority
+    before prefix-matching — a non-https URL must not bypass Disallow
+    (regression pin for the once-hardcoded '^https://' strip)."""
+    from newocr_spark.web.extract import robots_gate_urls, robots_rules
+
+    rows = [
+        ("site3.example.com", "http://site3.example.com/cat/7"),
+        ("site3.example.com", "ftp+ssh://site3.example.com/cat/8"),
+        ("site3.example.com", "https://site3.example.com/cat/9"),
+        ("site3.example.com", "http://site3.example.com/ok"),
+    ]
+    urls = spark.createDataFrame(rows, "domain string, url string")
+    rules = robots_rules(urls.select("domain"))
+    out = {r.url: r for r in robots_gate_urls(urls, rules).collect()}
+    # d=3 -> d%3==0 synthesizes 'Disallow: /cat/'
+    for u in list(out)[:3]:
+        if "/cat/" in u:
+            assert not out[u].allowed and out[u].matched_rule == "/cat/"
+    assert out["http://site3.example.com/ok"].allowed
