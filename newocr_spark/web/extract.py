@@ -1653,6 +1653,32 @@ def _sitemap_xml(docs: DataFrame) -> DataFrame:
     )
 
 
+def parse_sitemap(files: DataFrame) -> DataFrame:
+    """Parse sitemap XML blobs (column ``xml``) into one row per
+    advertised URL: (doc_id, url, lastmod, priority), doc_id being the
+    page id embedded in the /p/{id} path. Format-tolerant the way real
+    sitemaps demand: ``(?s)`` lets a <url> block span pretty-printed
+    lines and ``\\s*`` trims intra-tag whitespace, so both the fixture's
+    single-line entries and an indented real-world file parse
+    identically. A narrow in-codegen chain — block Generate + field
+    extracts, no Python, no exchange; the protocol's 50k-URL-per-file
+    cap bounds any single cell/task."""
+    blocks = files.select(
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).alias("b")
+    )
+    return blocks.select(
+        F.regexp_extract("b", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("b", r"<loc>\s*([^<\s][^<]*?)\s*</loc>", 1)
+        .alias("url"),
+        F.regexp_extract("b", r"<lastmod>\s*([^<\s][^<]*?)\s*</lastmod>", 1)
+        .alias("lastmod"),
+        F.regexp_extract("b", r"<priority>\s*([^<]*?)\s*</priority>", 1)
+        .cast("double").alias("priority"),
+    )
+
+
 def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven discovery delta — the scheduled-discovery
     complement to the link-driven crawl_frontier: parse every domain's
@@ -1677,20 +1703,7 @@ def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
     )
-    files = _sitemap_xml(docs)
-    blocks = files.select(
-        F.explode(
-            F.regexp_extract_all("xml", F.lit(r"<url>(.*?)</url>"), 1)
-        ).alias("b")
-    )
-    parsed = blocks.select(
-        F.regexp_extract("b", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
-        F.regexp_extract("b", r"<loc>([^<]*)</loc>", 1).alias("url"),
-        F.regexp_extract("b", r"<lastmod>([^<]*)</lastmod>", 1)
-        .alias("lastmod"),
-        F.regexp_extract("b", r"<priority>([^<]*)</priority>", 1)
-        .cast("double").alias("priority"),
-    )
+    parsed = parse_sitemap(_sitemap_xml(docs))
     adv = url_canonical(parsed, extra=("lastmod", "priority"))
     crawled = (
         url_canonical(_with_recrawl_urls(docs))
@@ -1720,12 +1733,13 @@ def sitemap_delta_sql() -> str:
     certifies that the messy recrawl variants canonicalize to it)."""
     parse_cte = f"""
   SELECT CAST(regexp_extract(b, '/p/(\\d+)', 1) AS BIGINT) AS doc_id,
-         regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
-         regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
-         CAST(regexp_extract(b, '<priority>([^<]*)</priority>', 1)
+         regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1) AS url,
+         regexp_extract(b, '<lastmod>\\s*([^<\\s][^<]*?)\\s*</lastmod>', 1)
+           AS lastmod,
+         CAST(regexp_extract(b, '<priority>\\s*([^<]*?)\\s*</priority>', 1)
               AS DOUBLE) AS priority
   FROM (
-    SELECT unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+    SELECT unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
     FROM (
       SELECT d, shard,
              '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||

@@ -759,3 +759,31 @@ def test_robots_gate_urls_scheme_general(spark):
         if "/cat/" in u:
             assert not out[u].allowed and out[u].matched_rule == "/cat/"
     assert out["http://site3.example.com/ok"].allowed
+
+
+def test_parse_sitemap_pretty_printed(spark):
+    """Real sitemaps are pretty-printed (newlines + indentation inside
+    each <url> block); the parser must read them identically to the
+    fixture's single-line entries."""
+    from newocr_spark.web.extract import parse_sitemap
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>
+      https://www.site7.example.com/p/42/?z=2&a=2
+    </loc>
+    <lastmod> 2026-02-12 </lastmod>
+    <priority>0.7</priority>
+  </url>
+  <url><loc>https://www.site7.example.com/p/43/?z=2&a=3</loc><lastmod>2026-02-13</lastmod><priority>0.8</priority></url>
+</urlset>"""
+    rows = sorted(
+        parse_sitemap(spark.createDataFrame([(xml,)], "xml string")).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in rows] == [42, 43]
+    assert rows[0].url == "https://www.site7.example.com/p/42/?z=2&a=2"
+    assert rows[0].lastmod == "2026-02-12"
+    assert rows[0].priority == 0.7
+    assert rows[1].url == "https://www.site7.example.com/p/43/?z=2&a=3"
