@@ -1378,7 +1378,7 @@ def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
     # URL as "path", silently bypassing every Disallow rule
     paths = urls.withColumn(
         "path",
-        F.regexp_replace("url", r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+", ""),
+        F.regexp_replace("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+", ""),
     )
     matched = (
         paths.select("domain", "url", "path")
@@ -1496,7 +1496,7 @@ rules AS (
 ),
 paths AS (
   SELECT f.*,
-         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+', '')
+         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+', '')
            AS path
   FROM f
 ),
