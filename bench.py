@@ -42,7 +42,7 @@ BENCH_QUERIES = (
     "vocab_stats", "quality_buckets", "source_quota", "tfidf_topterms", "bm25_search",
     "crossdoc_substr", "crossdoc_cut", "html_tables", "html_links", "html_linkgraph", "url_canonical",
     "url_dedup", "domain_stats", "crawl_frontier", "warc_extract",
-    "robots_gate", "anchor_text", "sitemap_delta",
+    "robots_gate", "anchor_text", "sitemap_delta", "sitemap_index",
     "pii_scrub", "line_dedup", "decontaminate", "decon_report",
     "lang_confusion", "stratified_sample", "pack_sequences",
     "pack_manifest", "pack_bucketed", "pack_efficiency", "dsir_weights",

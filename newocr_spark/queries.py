@@ -765,6 +765,7 @@ def _register_web_queries() -> None:
     QUERIES["robots_gate"] = W.q_robots_gate
     QUERIES["anchor_text"] = W.q_anchor_text
     QUERIES["sitemap_delta"] = W.q_sitemap_delta
+    QUERIES["sitemap_index"] = W.q_sitemap_index
     QUERIES["html_block_stats"] = W.q_html_block_stats
     QUERIES["html_metadata"] = W.q_html_metadata
     QUERIES["pdf_extract"] = W.q_pdf_extract
@@ -783,6 +784,7 @@ def _register_web_queries() -> None:
     ORACLES["robots_gate"] = W.robots_gate_sql()
     ORACLES["anchor_text"] = W.anchor_text_sql()
     ORACLES["sitemap_delta"] = W.sitemap_delta_sql()
+    ORACLES["sitemap_index"] = W.sitemap_index_sql()
     ORACLES["domain_stats"] = W.domain_stats_sql()
     ORACLES["html_block_stats"] = W.html_block_stats_sql()
     ORACLES["html_metadata"] = W.html_metadata_sql()

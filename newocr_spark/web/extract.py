@@ -1724,23 +1724,11 @@ def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sitemap_delta_sql() -> str:
-    """Oracle: the identical synthesis (same entry law, same sort, same
-    50k sharding), the identical regexp block parse, the shared
-    canonicalization chain over the PARSED <loc> text (full round trip —
-    nothing is closed-formed away), and the same crawled-set join. The
-    crawled side uses the canon law directly (url_dedup_sql already
-    certifies that the messy recrawl variants canonicalize to it)."""
-    parse_cte = f"""
-  SELECT CAST(regexp_extract(b, '/p/(\\d+)', 1) AS BIGINT) AS doc_id,
-         regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1) AS url,
-         regexp_extract(b, '<lastmod>\\s*([^<\\s][^<]*?)\\s*</lastmod>', 1)
-           AS lastmod,
-         CAST(regexp_extract(b, '<priority>\\s*([^<]*?)\\s*</priority>', 1)
-              AS DOUBLE) AS priority
-  FROM (
-    SELECT unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
-    FROM (
+def _sitemap_files_sql() -> str:
+    """Subquery yielding (d, shard, xml) — the sitemap file synthesis
+    shared by the sitemap_delta and sitemap_index oracles (identical
+    entry law, sort, and 50k sharding as `_sitemap_xml`)."""
+    return f"""
       SELECT d, shard,
              '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
              '<urlset xmlns='
@@ -1768,7 +1756,26 @@ def sitemap_delta_sql() -> str:
         )
       )
       GROUP BY d, shard
-    )
+"""
+
+
+def sitemap_delta_sql() -> str:
+    """Oracle: the identical synthesis (same entry law, same sort, same
+    50k sharding), the identical regexp block parse, the shared
+    canonicalization chain over the PARSED <loc> text (full round trip —
+    nothing is closed-formed away), and the same crawled-set join. The
+    crawled side uses the canon law directly (url_dedup_sql already
+    certifies that the messy recrawl variants canonicalize to it)."""
+    parse_cte = f"""
+  SELECT CAST(regexp_extract(b, '/p/(\\d+)', 1) AS BIGINT) AS doc_id,
+         regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1) AS url,
+         regexp_extract(b, '<lastmod>\\s*([^<\\s][^<]*?)\\s*</lastmod>', 1)
+           AS lastmod,
+         CAST(regexp_extract(b, '<priority>\\s*([^<]*?)\\s*</priority>', 1)
+              AS DOUBLE) AS priority
+  FROM (
+    SELECT unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+    FROM ({_sitemap_files_sql()})
   )
 """
     return _canon_chain_sql(parse_cte, carry=", lastmod, priority") + """
@@ -1787,4 +1794,138 @@ SELECT 'site' || (c.doc_id % 20) || '.example.com' AS domain,
          AS status
 FROM canon c LEFT JOIN crawled cr ON c.canon_url = cr.canon_url
 ORDER BY domain, url
+"""
+
+
+def _sitemap_index_xml(files: DataFrame) -> DataFrame:
+    """Per-domain ``<sitemapindex>`` synthesis (fixture side of the
+    sitemaps.org two-level protocol): once a domain shards past one
+    file, crawlers discover the shards through an index document listing
+    each ``sitemap-{shard}.xml``. One (d) hash-aggregate over the
+    already-tiny file frame."""
+    entry = F.concat(
+        F.lit("<sitemap><loc>https://"),
+        _domain_of(F.col("d")),
+        F.lit("/sitemap-"),
+        F.col("shard").cast("string"),
+        F.lit(".xml</loc></sitemap>\n"),
+    )
+    return (
+        files.select("d", entry.alias("e"))
+        .groupBy("d")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<sitemapindex xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                ),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("ixml")
+        )
+    )
+
+
+def parse_sitemap_index(index_files: DataFrame) -> DataFrame:
+    """Parse ``<sitemapindex>`` blobs (column ``ixml``) into one row per
+    listed sitemap file: (domain, sitemap_url, shard). Same tolerant
+    in-codegen regexp chain as `parse_sitemap` — (?s) blocks, trimmed
+    intra-tag whitespace, no Python, no exchange."""
+    blocks = index_files.select(
+        F.explode(
+            F.regexp_extract_all(
+                "ixml", F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+            )
+        ).alias("b")
+    )
+    loc = F.regexp_extract("b", r"<loc>\s*([^<\s][^<]*?)\s*</loc>", 1)
+    return blocks.select(
+        loc.alias("sitemap_url"),
+        F.regexp_extract(loc, r"https://([^/]+)/", 1).alias("domain"),
+        F.regexp_extract(loc, r"sitemap-(\d+)\.xml", 1)
+        .cast("long").alias("shard"),
+    ).select("domain", "sitemap_url", "shard")
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap INDEX inventory — the discovery layer above the urlsets:
+    parse every domain's ``<sitemapindex>``, and report each listed
+    shard file with the number of URLs it advertises (counted by
+    re-parsing the shard's own XML, so the two-level round trip —
+    index synthesis → index parse → shard join → urlset parse — is
+    value-certified end to end).
+
+    Output: (domain, sitemap_url, shard, n_urls), ordered.
+
+    100 TB shape: both syntheses are fixture-side hash-aggregates over
+    id-sized rows; the parses are narrow in-codegen regexp chains; the
+    index↔shard equi-join broadcasts the tiny index side. The protocol's
+    50k-URL cap bounds every cell."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    files = _sitemap_xml(docs)
+    counts = files.select(
+        _domain_of(F.col("d")).alias("domain"),
+        "shard",
+        F.size(
+            F.regexp_extract_all("xml", F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).cast("long").alias("n_urls"),
+    )
+    listed = parse_sitemap_index(_sitemap_index_xml(files))
+    return (
+        F.broadcast(listed)
+        .join(counts, ["domain", "shard"])
+        .select("domain", "sitemap_url", "shard", "n_urls")
+        .orderBy("domain", "shard")
+    )
+
+
+def sitemap_index_sql() -> str:
+    """Oracle: the shared file synthesis, the identical index synthesis
+    and block parse, and the same per-shard URL recount — an inner join,
+    so a shard missing from the index (or an index entry with no file)
+    turns the compare red."""
+    return f"""
+WITH xmlf AS ({_sitemap_files_sql()}),
+counts AS (
+  SELECT 'site' || d || '.example.com' AS domain, shard,
+         CAST(len(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+              AS BIGINT) AS n_urls
+  FROM xmlf
+),
+ie AS (
+  SELECT d,
+         '<sitemap><loc>https://site' || d || '.example.com/sitemap-'
+         || shard || '.xml</loc></sitemap>' || chr(10) AS e
+  FROM xmlf
+),
+ix AS (
+  SELECT d,
+         '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+         '<sitemapindex xmlns='
+         || '"http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10)
+         || string_agg(e, '' ORDER BY e) || '</sitemapindex>' AS ixml
+  FROM ie GROUP BY d
+),
+blocks AS (
+  SELECT unnest(regexp_extract_all(ixml, '(?s)<sitemap>(.*?)</sitemap>', 1))
+           AS b
+  FROM ix
+),
+listed AS (
+  SELECT regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)
+           AS sitemap_url,
+         regexp_extract(
+           regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1),
+           'https://([^/]+)/', 1) AS domain,
+         CAST(regexp_extract(
+           regexp_extract(b, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1),
+           'sitemap-(\\d+)\\.xml', 1) AS BIGINT) AS shard
+  FROM blocks
+)
+SELECT l.domain, l.sitemap_url, l.shard, c.n_urls
+FROM listed l JOIN counts c ON l.domain = c.domain AND l.shard = c.shard
+ORDER BY l.domain, l.shard
 """

@@ -207,6 +207,15 @@ CHECKS = {
         ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
          "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "sitemap_index": (
+        "sitemap index inventory: both syntheses are hash-aggregates "
+        "over id-sized rows, both parses are narrow in-codegen regexp "
+        "chains, and the index side of the shard join broadcasts — no "
+        "Python anywhere",
+        ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+         "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "anchor_text": (
         "anchor harvest: ONE (href) hash-aggregate; collect_set's "
         "map-side partials bound hot-chrome-href skew (each task ships "

@@ -787,3 +787,48 @@ def test_parse_sitemap_pretty_printed(spark):
     assert rows[0].lastmod == "2026-02-12"
     assert rows[0].priority == 0.7
     assert rows[1].url == "https://www.site7.example.com/p/43/?z=2&a=3"
+
+
+def test_sitemap_index_covers_every_shard(spark):
+    """The index inventory lists exactly the shard files the synthesis
+    produced — one row per (domain, shard) with the shard's advertised
+    URL count — and the counts sum to the full delta inventory."""
+    from newocr_spark.web.extract import q_sitemap_delta, q_sitemap_index
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_sitemap_index(spark, sf).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r.domain, r.shard)
+        assert key not in seen, "shard listed twice"
+        seen.add(key)
+        assert r.sitemap_url == f"https://{r.domain}/sitemap-{r.shard}.xml"
+        assert r.n_urls > 0
+    assert sum(r.n_urls for r in rows) == q_sitemap_delta(spark, sf).count()
+
+
+def test_parse_sitemap_index_pretty_printed(spark):
+    """Pretty-printed index documents parse identically to the
+    fixture's single-line entries."""
+    from newocr_spark.web.extract import parse_sitemap_index
+
+    ixml = """<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>
+      https://site4.example.com/sitemap-0.xml
+    </loc>
+  </sitemap>
+  <sitemap><loc>https://site4.example.com/sitemap-3.xml</loc></sitemap>
+</sitemapindex>"""
+    rows = sorted(
+        parse_sitemap_index(
+            spark.createDataFrame([(ixml,)], "ixml string")
+        ).collect(),
+        key=lambda r: r.shard,
+    )
+    assert [(r.domain, r.shard) for r in rows] == [
+        ("site4.example.com", 0), ("site4.example.com", 3)
+    ]
+    assert rows[1].sitemap_url == "https://site4.example.com/sitemap-3.xml"
