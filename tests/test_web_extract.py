@@ -684,6 +684,24 @@ def test_url_canonical_crosscheck_random(spark):
     for i, u in enumerate(urls):
         assert got[i] == reference(u), (u, got[i], reference(u))
 
+    # the DuckDB oracle CHAIN gets the same treatment: _canon_chain_sql
+    # must agree with the literal reference on arbitrary messy URLs, not
+    # just the fixture synthesis it normally certifies (regression pin
+    # for the limit-2-split / scheme-relative-port oracle divergences)
+    import duckdb
+    import pandas as pd
+
+    from newocr_spark.web.extract import _canon_chain_sql
+
+    con = duckdb.connect()
+    con.register(
+        "rnd", pd.DataFrame({"doc_id": range(len(urls)), "url": urls})
+    )
+    sql = _canon_chain_sql("SELECT doc_id, url FROM rnd") + \
+        "SELECT doc_id, canon_url FROM canon"
+    for i, canon in con.execute(sql).fetchall():
+        assert canon == reference(urls[i]), (urls[i], canon)
+
 
 def test_robots_gate_fetch_schedule(spark):
     """The k-th allowed URL per domain fetches at (k-1)*crawl_delay;
