@@ -1334,6 +1334,12 @@ def _robots_txt(d: "F.Column") -> "F.Column":
         F.when(F.pmod(d, F.lit(4)) == 0, F.lit("Allow: /u/1\n"))
         .otherwise(F.lit("")),
         F.lit("Disallow: /private/\n"),
+        # RFC 9309 §2.4 non-group Sitemap directive — how crawlers
+        # DISCOVER the domain's sitemap index; ignored by the
+        # allow/disallow rule parse, read by robots_sitemaps
+        F.lit("Sitemap: https://site"),
+        d.cast("string"),
+        F.lit(".example.com/sitemap-index.xml\n"),
     )
 
 
@@ -1360,6 +1366,28 @@ def robots_rules(domains: DataFrame) -> DataFrame:
     ).select(
         "domain", "rule_path", (F.col("verb") == "allow").alias("is_allow")
     )
+
+
+def robots_sitemaps(domains: DataFrame) -> DataFrame:
+    """Extract each domain's advertised ``Sitemap:`` URLs from its
+    robots.txt (RFC 9309 §2.4 — the discovery hook that leads a crawler
+    from robots.txt to the sitemap index and on to the urlsets). Same
+    declarative split → explode → verb filter as robots_rules. Output:
+    (domain, sitemap_url)."""
+    d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
+    doms = domains.select("domain").distinct().select(
+        "domain", _robots_txt(d).alias("robots")
+    )
+    lines = doms.select(
+        "domain", F.explode(F.split("robots", "\n")).alias("line")
+    )
+    return lines.select(
+        "domain",
+        F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
+        F.trim(F.get(F.split("line", ":", 2), 1)).alias("sitemap_url"),
+    ).filter(
+        (F.col("verb") == "sitemap") & F.col("sitemap_url").isNotNull()
+    ).select("domain", "sitemap_url")
 
 
 def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:

@@ -850,3 +850,24 @@ def test_parse_sitemap_index_pretty_printed(spark):
         ("site4.example.com", 0), ("site4.example.com", 3)
     ]
     assert rows[1].sitemap_url == "https://site4.example.com/sitemap-3.xml"
+
+
+def test_robots_sitemaps_discovery_hook(spark):
+    """robots.txt advertises each domain's sitemap index (RFC 9309 §2.4
+    Sitemap directive); the extractor reads exactly one per domain and
+    the URL matches the index synthesis law — while the allow/disallow
+    rule parse keeps ignoring the non-group line."""
+    from newocr_spark.web.extract import robots_rules, robots_sitemaps
+
+    doms = spark.createDataFrame(
+        [(f"site{d}.example.com",) for d in range(6)], "domain string"
+    )
+    out = {r.domain: r.sitemap_url for r in robots_sitemaps(doms).collect()}
+    assert len(out) == 6
+    for d in range(6):
+        assert out[f"site{d}.example.com"] == (
+            f"https://site{d}.example.com/sitemap-index.xml"
+        )
+    # the rules parse never leaks the Sitemap line as a path rule
+    for r in robots_rules(doms).collect():
+        assert r.rule_path.startswith("/")
