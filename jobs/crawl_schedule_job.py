@@ -58,8 +58,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         FRONTIER_PER_DOMAIN,
         q_robots_gate,
         q_sitemap_delta,
+        robots_delays,
         robots_gate_urls,
         robots_rules,
+        robots_sitemaps,
     )
 
     owns_session = spark is None
@@ -94,13 +96,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         new = new.join(
             links.select("domain", "url"), ["domain", "url"], "left_anti"
         )
+        # trust only sitemaps the domain itself advertises in robots.txt
+        # (RFC 9309 §2.4 discovery): a domain whose robots carries no
+        # Sitemap directive contributes no sitemap rows
+        advertised = robots_sitemaps(new.select("domain")).select("domain")
+        new = new.join(F.broadcast(advertised), "domain", "left_semi")
         # the sitemap rows pass the SAME robots gate (a sitemap listing
-        # does not override robots.txt) — rules rebuilt over the union
-        # of domains so a sitemap-only domain still gets its rule set
-        rules = robots_rules(
-            links.select("domain").unionByName(new.select("domain"))
-        )
-        sm = robots_gate_urls(new, rules).select(
+        # does not override robots.txt) — rules + parsed Crawl-delays
+        # rebuilt over the union of domains so a sitemap-only domain
+        # still gets its rule set
+        doms = links.select("domain").unionByName(new.select("domain"))
+        sm = robots_gate_urls(
+            new, robots_rules(doms), robots_delays(doms)
+        ).select(
             "domain", "url", F.lit("sitemap").alias("source"),
             F.lit(None).cast("long").alias("n_refs"),
             F.lit(None).cast("int").alias("rank"),

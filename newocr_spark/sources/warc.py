@@ -54,10 +54,13 @@ def _uuid(kind: str, n: int) -> str:
 
 
 def doc_uri(doc_id: int) -> str:
-    """Crawl URI for a doc — the scalar twin of the single-sourced
-    column law in web/extract (_page_of/_domain_of, RECRAWL_FANOUT /
-    N_CRAWL_DOMAINS) so the WARC corpus and the URL analytics describe
-    one crawl."""
+    """Archive URI for a doc: domain follows web/extract's page law
+    (_domain_of(_page_of(doc_id)) — the host a fetch of this doc would
+    hit), while the PATH keys the raw doc_id so every archived fetch
+    gets a unique WARC-Target-URI (html_to_documents uses it as the
+    doc key; the page-collapsed /p/{doc_id//3} view would collide
+    record ids). Joining against the URL analytics therefore goes
+    through the page mapping, not string equality."""
     return f"https://site{(doc_id // 3) % 20}.example.com/p/{doc_id}"
 
 

@@ -888,12 +888,15 @@ def url_canonical(pages: DataFrame, extra: tuple = ()) -> DataFrame:
     qpart = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return pages.select(
-        "doc_id",
-        "url",
-        F.concat(scheme, F.lit("://"), host, path, qpart).alias("canon_url"),
-        *extra,
-    )
+    # schemeless / malformed URLs (no '://') leave rest NULL and concat
+    # would propagate NULL — a NULL canon_url is catastrophic downstream
+    # (url_dedup's window puts every NULL in ONE partition and keeps a
+    # single doc, silently dropping the rest), so fall back to the raw
+    # URL: an unparseable URL canonicalizes to itself and stays distinct
+    canon = F.when(
+        rest.isNull(), url
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+    return pages.select("doc_id", "url", canon.alias("canon_url"), *extra)
 
 
 def url_canonical_sql() -> str:
@@ -975,19 +978,29 @@ norm AS (
   FROM hp
 ),
 canon AS (
+  -- host IS NULL iff the URL had no '://' (schemeless/malformed):
+  -- such URLs canonicalize to THEMSELVES so they stay distinct rows
+  -- downstream instead of collapsing into one NULL partition
   SELECT doc_id, url{carry},
-         scheme || '://' || host || path ||
-         CASE WHEN len(params) > 0
-              THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+         CASE WHEN host IS NULL THEN url
+              ELSE scheme || '://' || host || path ||
+                   CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&')
+                        ELSE '' END
+         END AS canon_url
   FROM norm
 )
 """
 
 
 # crawl fixture law, single-sourced for the whole family (recrawl
-# synthesis, frontier, robots, sitemap; sources/warc.doc_uri is the
-# scalar twin): page p = doc_id // RECRAWL_FANOUT is hosted on domain
-# site{p % N_CRAWL_DOMAINS}.example.com
+# synthesis, frontier, robots, sitemap): page p = doc_id // RECRAWL_FANOUT
+# is hosted on domain site{p % N_CRAWL_DOMAINS}.example.com.
+# sources/warc.doc_uri shares the DOMAIN half of this law but keys its
+# path by the raw doc_id (/p/{doc_id}, one archived fetch per document,
+# URIs unique by construction) — an archive of fetches, not the
+# page-collapsed view; joining the two requires the page mapping, not
+# string equality
 RECRAWL_FANOUT = 3
 N_CRAWL_DOMAINS = 20
 
@@ -1185,10 +1198,11 @@ def q_crawl_frontier(
     and cand branches below both consume them — without the seam each
     branch re-plans the subtree and the Python HTML parse runs twice);
     the (domain, url) hash-aggregate collapses duplicates map-side; the
-    seen-set join is an equi anti-join on url (the seen side is a
-    distinct projection, broadcast-eligible); the politeness window
-    shuffles only (domain, url, n_refs) rows already capped to distinct
-    URLs. Anchor text never rides any exchange."""
+    seen-set anti-join on url is left to the optimizer — the seen side
+    is unbounded at crawl scale so it is never force-broadcast, and AQE
+    picks broadcast at runtime when the wave is small; the politeness
+    window shuffles only (domain, url, n_refs) rows already capped to
+    distinct URLs. Anchor text never rides any exchange."""
     links = q_html_links(spark, sf_dir, max_docs, partitions)
     did = F.substring("doc_id", 5, 10).cast("long")
     dom = _domain_of(_page_of(did))
@@ -1214,7 +1228,12 @@ def q_crawl_frontier(
         .groupBy("domain", "url")
         .agg(F.countDistinct("did").alias("n_refs"))
     )
-    fresh = cand.join(F.broadcast(seen), "url", "left_anti")
+    # NO forced broadcast: the seen-set is every URL the crawl has ever
+    # linked — unbounded at crawl scale, so a F.broadcast hint here
+    # would collect it to the driver and OOM. Left to the optimizer:
+    # AQE converts the anti-join to broadcast at runtime whenever the
+    # wave actually fits under the threshold (as it does at fixture sf)
+    fresh = cand.join(seen, "url", "left_anti")
     w = Window.partitionBy("domain").orderBy(F.desc("n_refs"), F.asc("url"))
     return (
         fresh.select(
@@ -1343,13 +1362,12 @@ def _robots_txt(d: "F.Column") -> "F.Column":
     )
 
 
-def robots_rules(domains: DataFrame) -> DataFrame:
-    """Parse each domain's (synthesized) robots.txt into exploded rule
-    rows (domain, rule_path, is_allow) — declaratively (split → explode
-    → verb filter), no Python. Tiny (O(|domains| × rules-per-domain));
-    consumers broadcast it. Shared by q_robots_gate and the
-    crawl-schedule job, which gates sitemap-advertised URLs with the
-    SAME rule set."""
+def _robots_directives(domains: DataFrame) -> DataFrame:
+    """Each domain's (synthesized) robots.txt exploded into parsed
+    directive rows (domain, verb, value) — declaratively (split →
+    explode → limit-2 colon split, so URL values keep their own colons),
+    no Python. Tiny (O(|domains| × lines)); the shared base of the
+    rule / crawl-delay / sitemap extractors below."""
     d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
     doms = domains.select("domain").distinct().select(
         "domain", _robots_txt(d).alias("robots")
@@ -1360,46 +1378,60 @@ def robots_rules(domains: DataFrame) -> DataFrame:
     return lines.select(
         "domain",
         F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
-        F.trim(F.get(F.split("line", ":", 2), 1)).alias("rule_path"),
-    ).filter(
-        F.col("verb").isin("allow", "disallow") & (F.col("rule_path") != "")
+        F.trim(F.get(F.split("line", ":", 2), 1)).alias("value"),
+    )
+
+
+def robots_rules(domains: DataFrame) -> DataFrame:
+    """Allow/Disallow path-prefix rules per domain: (domain, rule_path,
+    is_allow). Consumers broadcast it. Shared by q_robots_gate and the
+    crawl-schedule job, which gates sitemap-advertised URLs with the
+    SAME rule set."""
+    return _robots_directives(domains).filter(
+        F.col("verb").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
-        "domain", "rule_path", (F.col("verb") == "allow").alias("is_allow")
+        "domain",
+        F.col("value").alias("rule_path"),
+        (F.col("verb") == "allow").alias("is_allow"),
+    )
+
+
+def robots_delays(domains: DataFrame) -> DataFrame:
+    """Crawl-delay directive per domain: (domain, crawl_delay seconds) —
+    PARSED from the robots text like every other directive, never
+    recomputed from a naming convention, so the gate honors whatever a
+    real robots.txt declares."""
+    return _robots_directives(domains).filter(
+        (F.col("verb") == "crawl-delay") & (F.col("value") != "")
+    ).select(
+        "domain", F.col("value").cast("int").alias("crawl_delay")
     )
 
 
 def robots_sitemaps(domains: DataFrame) -> DataFrame:
-    """Extract each domain's advertised ``Sitemap:`` URLs from its
-    robots.txt (RFC 9309 §2.4 — the discovery hook that leads a crawler
-    from robots.txt to the sitemap index and on to the urlsets). Same
-    declarative split → explode → verb filter as robots_rules. Output:
-    (domain, sitemap_url)."""
-    d = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
-    doms = domains.select("domain").distinct().select(
-        "domain", _robots_txt(d).alias("robots")
-    )
-    lines = doms.select(
-        "domain", F.explode(F.split("robots", "\n")).alias("line")
-    )
-    return lines.select(
-        "domain",
-        F.lower(F.trim(F.split("line", ":", 2).getItem(0))).alias("verb"),
-        F.trim(F.get(F.split("line", ":", 2), 1)).alias("sitemap_url"),
-    ).filter(
-        (F.col("verb") == "sitemap") & F.col("sitemap_url").isNotNull()
-    ).select("domain", "sitemap_url")
+    """Advertised ``Sitemap:`` URLs per domain (RFC 9309 §2.4 — the
+    discovery hook that leads a crawler from robots.txt to the sitemap
+    index and on to the urlsets). Output: (domain, sitemap_url)."""
+    return _robots_directives(domains).filter(
+        (F.col("verb") == "sitemap") & (F.col("value") != "")
+    ).select("domain", F.col("value").alias("sitemap_url"))
 
 
-def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
+def robots_gate_urls(
+    urls: DataFrame, rules: DataFrame, delays: DataFrame | None = None
+) -> DataFrame:
     """RFC 9309 verdict per (domain, url) row: match every URL's path
     against its domain's rules, LONGEST match deciding — allow beating
     disallow on equal length (§2.2.2 least-restrictive tie-break);
     unmatched URLs are allowed. Input: (domain, url, *extra — threaded
     through); output adds (allowed, matched_rule, crawl_delay).
+    ``delays`` is the robots_delays frame; a domain with no Crawl-delay
+    directive (or delays=None) gets 0 — fetch immediately, the
+    directive's absence semantics.
 
-    100 TB shape: rules broadcast; the longest-match argmax is one
-    (domain, url) hash-aggregate over the handful of matched candidate
-    rows per URL."""
+    100 TB shape: rules and delays broadcast; the longest-match argmax
+    is one (domain, url) hash-aggregate over the handful of matched
+    candidate rows per URL."""
     # scheme-general authority strip (RFC 3986 scheme grammar) — this
     # helper gates arbitrary URL frames, not just the https fixture; a
     # hard-coded https prefix would leave non-https URLs with the full
@@ -1427,20 +1459,17 @@ def robots_gate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
             F.col("m.p").alias("matched_rule"),
         )
     )
-    return (
-        paths.join(matched, ["domain", "url"], "left")
-        .withColumn(
-            "allowed", F.coalesce(F.col("best_allow"), F.lit(True))
-        )
-        .withColumn(
-            "crawl_delay",
-            F.pmod(
-                F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int"),
-                F.lit(5),
-            ),
-        )
-        .drop("best_allow", "path")
+    gated = paths.join(matched, ["domain", "url"], "left").withColumn(
+        "allowed", F.coalesce(F.col("best_allow"), F.lit(True))
     )
+    if delays is not None:
+        gated = gated.join(F.broadcast(delays), "domain", "left")
+        gated = gated.withColumn(
+            "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(0))
+        )
+    else:
+        gated = gated.withColumn("crawl_delay", F.lit(0))
+    return gated.drop("best_allow", "path")
 
 
 def q_robots_gate(
@@ -1473,9 +1502,11 @@ def q_robots_gate(
     frontier = stage_checkpoint(
         q_crawl_frontier(spark, sf_dir, max_docs, split, per_domain)
     )
-    rules = robots_rules(frontier.select("domain"))
+    doms = frontier.select("domain")
     gated = robots_gate_urls(
-        frontier.select("domain", "url", "n_refs", "rank"), rules
+        frontier.select("domain", "url", "n_refs", "rank"),
+        robots_rules(doms),
+        robots_delays(doms),
     ).select(
         "domain", "url", "n_refs", "rank", "allowed", "matched_rule",
         "crawl_delay",
@@ -1893,7 +1924,12 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
     )
-    files = _sitemap_xml(docs)
+    # counts and the index synthesis BOTH consume the file frame — same
+    # two-branch shape as crawl_frontier, same seam so the synthesis
+    # (documents scan + distinct + (d, shard) aggregate) runs once
+    from ..analytics.dedup import stage_checkpoint
+
+    files = stage_checkpoint(_sitemap_xml(docs))
     counts = files.select(
         _domain_of(F.col("d")).alias("domain"),
         "shard",

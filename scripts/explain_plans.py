@@ -245,9 +245,11 @@ CHECKS = {
         "urls localCheckpoint seam (id-sized rows; without it the seen/"
         "cand branches would each re-run the Python parse), so the plan "
         "roots at an ExistingRDD scan with NO MapInPandas; (domain, "
-        "url) hash-aggregate with map-side partials; seen-set anti-join "
-        "is a broadcast equi-join; the politeness window shuffles only "
-        "capped (domain, url, n_refs) rows",
+        "url) hash-aggregate with map-side partials; the seen-set "
+        "anti-join is NOT force-broadcast (unbounded at crawl scale) — "
+        "the optimizer picks broadcast itself from the seam's real "
+        "stats; the politeness window shuffles only capped "
+        "(domain, url, n_refs) rows",
         ["Scan ExistingRDD", "HashAggregate", "BroadcastHashJoin",
          "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],

@@ -448,6 +448,10 @@ def test_url_canonical_rules(spark):
         # default is a real, distinct origin and must survive
         (6, "https://example.com:80/p"),
         (7, "http://example.com:443/p"),
+        # schemeless/malformed: canonicalizes to ITSELF (never NULL —
+        # a NULL canon would collapse all such docs into one dedup row)
+        (8, "example.com/x?a=1#f"),
+        (9, "//cdn.example.com/asset"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, url string")
     out = {r.doc_id: r.canon_url for r in url_canonical(docs).collect()}
@@ -458,6 +462,8 @@ def test_url_canonical_rules(spark):
     assert out[5] == "https://example.com/p/q"
     assert out[6] == "https://example.com:80/p"
     assert out[7] == "http://example.com:443/p"
+    assert out[8] == "example.com/x?a=1#f"
+    assert out[9] == "//cdn.example.com/asset"
     # canonical equality groups what a URL-dedup stage should group
     pair = [
         (10, "https://www.site.com/x?b=2&a=1"),
@@ -640,6 +646,8 @@ def test_url_canonical_crosscheck_random(spark):
 
     def reference(url: str) -> str:
         no_frag = url.split("#", 1)[0]
+        if "://" not in no_frag:
+            return url  # schemeless: canonicalizes to itself
         scheme, _, rest = no_frag.partition("://")
         scheme = scheme.lower()
         hostpath, _, query = rest.partition("?")
@@ -661,7 +669,7 @@ def test_url_canonical_crosscheck_random(spark):
         return f"{scheme}://{host}{path}{q}"
 
     rng = random.Random(20260820)
-    schemes = ["http", "https", "HTTPS", "Http"]
+    schemes = ["http", "https", "HTTPS", "Http", ""]
     hosts = ["www.Ex.COM", "ex.com", "WWW.SITE9.example.com", "a.b.c"]
     ports = ["", ":443", ":80", ":8080"]
     paths = ["", "/", "/a", "/a/", "/a/b", "/a/b//", "/p/7"]
@@ -672,11 +680,16 @@ def test_url_canonical_crosscheck_random(spark):
         "?next=https://ex.com/cb&a=1", "?q=a?b",
     ]
     frags = ["", "#f", "#a#b"]
-    urls = [
-        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
-        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
-        for _ in range(300)
-    ]
+    urls = []
+    for _ in range(300):
+        sch = rng.choice(schemes)
+        # empty scheme → a genuinely schemeless / protocol-relative URL
+        # (no '://' at all): must canonicalize to itself on both sides
+        prefix = sch + "://" if sch else rng.choice(["", "//"])
+        urls.append(
+            prefix + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
     docs = spark.createDataFrame(
         list(enumerate(urls)), "doc_id bigint, url string"
     )
