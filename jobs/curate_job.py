@@ -81,6 +81,26 @@ from __future__ import annotations
 import argparse
 
 
+def _swap_text(kept, frame, text_col: str, count_col: str | None = None):
+    """Swap ``kept``'s text for a rewrite stage's output column: join on
+    doc_id, adopt ``text_col`` as the new text. With ``count_col``, docs
+    the rewrite EMPTIED (count_col > 0 and blank text) drop while
+    untouched docs (count_col == 0) pass verbatim — and docs that were
+    already empty before the stage stay. One definition so the
+    drop-on-empty rule cannot drift between the rewrite stages."""
+    from pyspark.sql import functions as F
+
+    joined = kept.join(frame, "doc_id")
+    drop = ["text"]
+    if count_col is not None:
+        joined = joined.filter(
+            (F.col(count_col) == 0)
+            | (F.length(F.trim(text_col)) > 0)
+        )
+        drop.append(count_col)
+    return joined.drop(*drop).withColumnRenamed(text_col, "text")
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """Returns the curated doc count. ``argv``/``spark`` are injectable so
     the e2e test (tests/test_curate_job.py) can drive the exact
@@ -173,6 +193,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--write-band-index must differ from --band-index (parquet "
             "cannot overwrite its own input; an Iceberg store would append)"
         )
+    # positive-value checks: ANSI mode off turns a zero divisor/modulus
+    # into NULL, so --seq-budget 0 would write null seq ids and
+    # --shards 0 a single __HIVE_DEFAULT_PARTITION__ — silent layout
+    # corruption instead of an error
+    if args.seq_budget <= 0:
+        raise SystemExit("--seq-budget must be a positive token count")
+    if args.shards <= 0:
+        raise SystemExit("--shards must be positive")
+    if args.source_quota is not None and args.source_quota <= 0:
+        raise SystemExit(
+            "--source-quota must be positive (0 would silently keep "
+            "nothing from any source)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -189,6 +222,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     docs = spark.read.parquet(args.documents)
+
+    # pre-flight column checks: fail BEFORE the expensive dedup/gate
+    # stages materialize (the eager stage checkpoint would otherwise run
+    # hours of work and then die on an unresolved column in a late
+    # selection stage)
+    required = ["doc_id", "text", "lang"]  # lang: sample + output layout
+    missing = [c for c in required if c not in docs.columns]
+    if missing:
+        raise SystemExit(f"input table is missing required columns {missing}")
+    if args.source_quota is not None and "source" not in docs.columns:
+        raise SystemExit(
+            "--source-quota requires a 'source' column in the input table"
+        )
 
     # -2. URL-level dedup at ingest (opt-in; RefinedWeb §3.2 order: URL
     # dedup BEFORE content dedup): collapse re-crawls by canonical URL,
@@ -215,11 +261,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         c4 = C.c4_clean(docs).filter(F.col("keep")).select(
             "doc_id", F.col("clean_text").alias("_c4_text")
         )
-        docs = (
-            docs.join(c4, "doc_id")
-            .drop("text")
-            .withColumnRenamed("_c4_text", "text")
-        )
+        # no count_col: c4_clean's keep already dropped emptied pages
+        docs = _swap_text(docs, c4, "_c4_text")
 
     # -0.5. Gopher quality gate (opt-in): the second in-codegen-only gate —
     # drop-only (no rewrite), so it composes with C4 in either order; both
@@ -258,11 +301,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # realistic 8-gram setting (analytics/curation.py:decontaminate);
     # tune --min-overlap per corpus.
     if args.benchmark_mod > 0:
+        # bench_docs = the PRE-dedup corpus: stage 1 keeps the minimum
+        # doc_id per cluster, so a training doc that near-duplicates an
+        # eval doc can absorb it out of `kept` — building the bench
+        # shingle set from `kept` would then let the contaminated doc
+        # through (the whitewashing hole); the pre-dedup frame can't lose
+        # eval docs that way
         contaminated = C.decontaminate(
             kept,
             n=args.decon_n,
             min_overlap=args.min_overlap,
             bench_mod=args.benchmark_mod,
+            bench_docs=docs,
         ).select("doc_id")
         kept = kept.filter(
             F.pmod(F.col("doc_id"), F.lit(args.benchmark_mod)) != 0
@@ -295,15 +345,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # verbatim (crossdoc_cut only rebuilds docs it actually cut);
             # drop a doc only when the CUT emptied it — a doc that was
             # already empty stays, exactly as in gate mode
-            kept = (
-                kept.join(cut, "doc_id")
-                .filter(
-                    (F.col("n_cut") == 0)
-                    | (F.length(F.trim("_xd_text")) > 0)
-                )
-                .drop("text", "n_cut")
-                .withColumnRenamed("_xd_text", "text")
-            )
+            kept = _swap_text(kept, cut, "_xd_text", "n_cut")
         else:
             from newocr_spark.analytics.textstats import (
                 CROSSDOC_MAX_FRAC, crossdoc_substrings,
@@ -339,9 +381,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # cut and the PII scrub below rewrite text, but future increments
     # arrive as raw crawls and must collide with raw-text signatures.
     if args.write_band_index:
-        new_bands = band_index(
-            docs.join(kept.select("doc_id"), "doc_id", "left_semi")
-        )
+        cover = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        if args.benchmark_mod > 0:
+            # eval pages never train, but their bands MUST be indexed:
+            # a later increment's re-crawl of an eval page arrives under
+            # a FRESH doc_id the id-mod filter cannot see, so without
+            # indexed bands it would pass stage 0 and train — the
+            # cross-run half of the "eval docs never reach the packed
+            # output" invariant
+            cover = cover.unionByName(
+                docs.filter(
+                    F.pmod(F.col("doc_id"), F.lit(args.benchmark_mod)) == 0
+                )
+            )
+        new_bands = band_index(cover)
         if args.band_index:
             new_bands = spark.read.parquet(args.band_index).unionByName(
                 new_bands
@@ -392,15 +445,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ld = C.line_dedup(kept).select(
             "doc_id", F.col("clean_text").alias("_ld_text"), "n_removed"
         )
-        kept = (
-            kept.join(ld, "doc_id")
-            .filter(
-                (F.col("n_removed") == 0)
-                | (F.length(F.trim("_ld_text")) > 0)
-            )
-            .drop("text", "n_removed")
-            .withColumnRenamed("_ld_text", "text")
-        )
+        kept = _swap_text(kept, ld, "_ld_text", "n_removed")
 
     # 3. PII scrub (keeps every doc; swaps text for the scrubbed version)
     scrubbed = C.pii_scrub(kept).select(

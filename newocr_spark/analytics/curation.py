@@ -159,7 +159,11 @@ def contamination_sql(
 
 
 def decontaminate(
-    docs: DataFrame, n: int = 8, min_overlap: int = 3, bench_mod: int = 53
+    docs: DataFrame,
+    n: int = 8,
+    min_overlap: int = 3,
+    bench_mod: int = 53,
+    bench_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing >= min_overlap
     distinct n-gram shingles with a benchmark/eval set (here the
@@ -173,13 +177,24 @@ def decontaminate(
     in training data, so n=2 reduces the stage to "drop most of the
     corpus". n stays a parameter for corpus-specific tuning.
 
+    ``bench_docs`` is the frame the benchmark slice is CUT FROM
+    (default: ``docs`` itself). Pass the ORIGINAL pre-dedup corpus here
+    whenever ``docs`` has already been deduplicated: near-dup resolution
+    keeps the minimum doc_id per cluster, so a training doc that
+    duplicates an eval doc can ABSORB it — the eval doc vanishes from
+    the post-dedup frame, its shingles vanish from the bench set, and
+    the contaminated training doc sails through. Building the bench set
+    from the pre-dedup frame closes that whitewashing hole.
+
     100 TB shape: the benchmark shingle set is SMALL by definition (eval
     suites are thousands of docs) → distinct + broadcast; the corpus side
     is one narrow shingle map + a broadcast semi-join + one count
     aggregate — the corpus never self-joins and never shuffles its text."""
     is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench_src = bench_docs if bench_docs is not None else docs
     bench_sh = (
-        _shingles(docs.filter(is_bench), n).select("shingle").distinct()
+        _shingles(bench_src.filter(is_bench), n)
+        .select("shingle").distinct()
     )
     train_sh = _shingles(docs.filter(~is_bench), n)
     hits = train_sh.join(F.broadcast(bench_sh), "shingle")

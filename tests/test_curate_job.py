@@ -443,3 +443,131 @@ def test_curate_job_url_dedup_stage(spark, tmp_path):
              "--shards", "4", "--url-dedup"],
             spark=spark,
         )
+
+
+_EVAL_TEXT = (
+    "the zanzibar consortium published its quarterly evaluation of "
+    "maritime spice routes covering cloves nutmeg and cardamom with "
+    "detailed tonnage figures for every registered vessel in the fleet"
+)
+
+
+def test_curate_job_decon_survives_dedup_absorbing_eval_doc(spark, tmp_path):
+    """The whitewashing hole: a training doc that exactly duplicates an
+    eval doc used to ABSORB it in stage 1 (cluster canonical = min
+    doc_id), emptying the bench shingle set of that doc before stage 2
+    looked — the contaminated text trained. The bench set now comes from
+    the PRE-dedup corpus, so the absorber is flagged and dropped."""
+    import curate_job
+
+    base = spark.read.parquet(SF_DOCS).filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") != 12)
+    )
+    pair = spark.createDataFrame(
+        [(12, _EVAL_TEXT, "en", "src0", len(_EVAL_TEXT)),
+         (530, _EVAL_TEXT, "en", "src0", len(_EVAL_TEXT))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    src = str(tmp_path / "absorb_src")
+    base.unionByName(pair).write.parquet(src)
+
+    # control (decon off): the absorber doc 12 survives to the output,
+    # proving the assertion below is non-vacuous
+    out_ctl = str(tmp_path / "absorb_ctl")
+    curate_job.main(
+        ["--documents", src, "--output", out_ctl, "--shards", "4",
+         "--benchmark-mod", "0", "--no-repetition-gate"],
+        spark=spark,
+    )
+    ctl = spark.read.parquet(out_ctl)
+    assert ctl.filter(F.col("text").contains("zanzibar")).count() > 0
+
+    out = str(tmp_path / "absorb_out")
+    curate_job.main(
+        ["--documents", src, "--output", out, "--shards", "4",
+         "--no-repetition-gate"],
+        spark=spark,
+    )
+    df = spark.read.parquet(out)
+    # neither the eval doc nor its absorber — nor the eval TEXT under
+    # any id — reaches the training output
+    assert df.filter(F.col("doc_id").isin(12, 530)).count() == 0
+    assert df.filter(F.col("text").contains("zanzibar")).count() == 0
+
+
+def test_curate_job_band_index_covers_eval_pages(spark, tmp_path):
+    """Cross-run half of the eval-exclusion invariant: eval pages are
+    dropped from training, but their bands must still enter the index —
+    a later increment's re-crawl of an eval page arrives under a fresh
+    doc_id the id-mod filter cannot see, and must collide at stage 0."""
+    import curate_job
+
+    base = spark.read.parquet(SF_DOCS).filter(F.col("doc_id") < 100)
+    bench = spark.createDataFrame(
+        [(530, _EVAL_TEXT, "en", "src0", len(_EVAL_TEXT))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    p1 = str(tmp_path / "evi_inc1")
+    base.unionByName(bench).write.parquet(p1)
+    idx1 = str(tmp_path / "evi_bands1")
+    curate_job.main(
+        ["--documents", p1, "--output", str(tmp_path / "evi_out1"),
+         "--shards", "4", "--no-repetition-gate",
+         "--write-band-index", idx1],
+        spark=spark,
+    )
+
+    # increment 2: the eval page re-crawled under a fresh id that is NOT
+    # ≡ 0 mod 53, plus novel docs
+    recrawl_id = 10_000_012
+    assert recrawl_id % 53 != 0
+    inc2 = spark.read.parquet(SF_DOCS).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).unionByName(spark.createDataFrame(
+        [(recrawl_id, _EVAL_TEXT, "en", "src0", len(_EVAL_TEXT))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ))
+    p2 = str(tmp_path / "evi_inc2")
+    inc2.write.parquet(p2)
+    out2 = str(tmp_path / "evi_out2")
+    curate_job.main(
+        ["--documents", p2, "--output", out2, "--shards", "4",
+         "--no-repetition-gate", "--band-index", idx1],
+        spark=spark,
+    )
+    df2 = spark.read.parquet(out2)
+    assert df2.filter(F.col("doc_id") == recrawl_id).count() == 0
+    assert df2.filter(F.col("text").contains("zanzibar")).count() == 0
+
+
+def test_curate_job_rejects_bad_scalars_and_missing_columns(spark, tmp_path):
+    """Pre-flight validation: zero/negative layout scalars and missing
+    input columns fail FAST with SystemExit, before any stage runs."""
+    import curate_job
+
+    for extra in (["--seq-budget", "0"], ["--shards", "0"],
+                  ["--source-quota", "0"]):
+        with pytest.raises(SystemExit):
+            curate_job.main(
+                ["--documents", SF_DOCS,
+                 "--output", str(tmp_path / "never"), *extra],
+                spark=spark,
+            )
+    # missing 'source' column with --source-quota
+    nosrc = str(tmp_path / "nosrc")
+    spark.read.parquet(SF_DOCS).drop("source").write.parquet(nosrc)
+    with pytest.raises(SystemExit):
+        curate_job.main(
+            ["--documents", nosrc, "--output", str(tmp_path / "never2"),
+             "--shards", "4", "--source-quota", "5"],
+            spark=spark,
+        )
+    # missing 'lang' column fails unconditionally
+    nolang = str(tmp_path / "nolang")
+    spark.read.parquet(SF_DOCS).drop("lang").write.parquet(nolang)
+    with pytest.raises(SystemExit):
+        curate_job.main(
+            ["--documents", nolang, "--output", str(tmp_path / "never3"),
+             "--shards", "4"],
+            spark=spark,
+        )
