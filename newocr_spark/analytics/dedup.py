@@ -126,18 +126,14 @@ def _hashed(sh: DataFrame) -> DataFrame:
     return sh.select("doc_id", F.xxhash64("shingle").alias("sh64"))
 
 
-def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a < doc_b) pairs via shingle joins."""
-    shh = _hashed(sh)
-    sizes = shh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = shh.select(F.col("doc_id").alias("doc_a"), "sh64")
-    sh_b = shh.select(F.col("doc_id").alias("doc_b"), "sh64")
-    inter = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh64"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+def _jaccard_finalize(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared jaccard finalization for the exact pair paths (_verify_pairs
+    and ngram_jaccard_pairs' join strategy): attach both doc sizes to the
+    (doc_a, doc_b, inter) counts, compute the 6-dp-rounded jaccard, and
+    apply the threshold — ONE definition so the rounding/threshold rule
+    cannot drift between the baseline and the LSH verify step."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -151,6 +147,21 @@ def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFram
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _verify_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a < doc_b) pairs via shingle joins."""
+    shh = _hashed(sh)
+    sizes = shh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shh.select(F.col("doc_id").alias("doc_a"), "sh64")
+    sh_b = shh.select(F.col("doc_id").alias("doc_b"), "sh64")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh64"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_finalize(inter, sizes, threshold)
 
 
 # bitmap strategy bound: vocab words above this would make the per-doc
@@ -216,7 +227,17 @@ def ngram_jaccard_pairs(
         strategy = "bitmap" if probe.count() <= MAX_BITMAP_VOCAB else "join"
     if strategy == "bitmap":
         return _ngram_jaccard_bitmap(docs.sparkSession, sh_plain, threshold)
-    sh = _hashed(sh_plain).cache()
+    if strategy != "join":
+        raise ValueError(
+            f"unknown strategy {strategy!r}: pass 'auto', 'bitmap' or "
+            "'join' (a silent fallthrough here would run the quadratic "
+            "shuffle the caller may have opted out of)"
+        )
+    # _hashed is a cheap map over the already-cached sh_plain — a second
+    # cache would pin the shingle frame in storage memory twice for the
+    # life of the session (the guard bounds sh_plain; callers/bench clear
+    # it via catalog.clearCache between corpora)
+    sh = _hashed(sh_plain)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh64")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh64")
@@ -226,19 +247,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_finalize(inter, sizes, threshold)
 
 
 def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
@@ -277,6 +286,13 @@ def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
     # of MB (VERDICT r2 what's-wrong #2)
     per_doc = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     packed = per_doc.mapInPandas(pack, "doc_id bigint, bits binary, sz bigint").collect()
+    # pack is fully drained by the collect: the vocab→bit broadcast (up
+    # to 16384 strings per executor) can release NOW instead of pinning
+    # executor memory until the returned frame is garbage-collected; the
+    # shingle cache is likewise done (everything downstream runs off the
+    # driver-held bitset matrix)
+    sid_b.destroy()
+    sh.unpersist()
     packed.sort(key=lambda r: r.doc_id)
     ids = np.array([r.doc_id for r in packed], dtype=np.int64)
     sizes = np.array([r.sz for r in packed], dtype=np.int64)
@@ -306,20 +322,26 @@ def _ngram_jaccard_bitmap(spark, sh: DataFrame, threshold: float) -> DataFrame:
                 # HALF_UP at 6 digits (F.round / DuckDB round semantics;
                 # np.round is banker's and flips exact ties like 1/128)
                 jac = np.floor(jac * 1e6 + 0.5) / 1e6
-                keep = np.nonzero(jac >= threshold)[0]
+                # inter > 0: the join strategy (and the DuckDB oracle)
+                # can only EMIT pairs sharing >= 1 shingle, so at
+                # threshold <= 0 a zero-intersection pair must not
+                # appear here either — same exact output, any threshold
+                keep = np.nonzero((inter > 0) & (jac >= threshold))[0]
                 for j in keep:
                     rows.append((did, int(ids_all[i + 1 + j]), float(jac[j])))
             yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    # the groupBy output AQE-coalesces to ~1 post-shuffle partition (tiny
-    # bytes) — but the PAIR KERNEL's cost is O(docs^2) compute, so spread
-    # the doc list across the cluster explicitly before mapInPandas
-    stream = per_doc.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the PAIR KERNEL's cost is O(docs^2) compute, so spread the doc list
+    # across the cluster explicitly before mapInPandas — built from the
+    # driver-held ids (re-reading per_doc here would re-run the
+    # collect_list shuffle a second time just to recover doc_ids the
+    # driver already holds)
+    stream = spark.createDataFrame(
+        [(int(i),) for i in ids], "doc_id bigint"
+    ).repartition(spark.sparkContext.defaultParallelism)
     return _attach_broadcasts(
         stream.mapInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double"),
-        sid_b, mat_b,
+        mat_b,
     )
 
 
@@ -816,37 +838,13 @@ def _cc_labels(
         ).distinct(),
         reliable,
     )
-    changed = 0
-    for _ in range(max_rounds):
-        nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new = _iter_checkpoint(
-            labels.join(nbr, labels.doc_id == nbr.src, "left").select(
-                labels.doc_id.alias("doc_id"),
-                F.least(
-                    labels.cluster_id, F.coalesce(nbr.nbr_min, labels.cluster_id)
-                ).alias("cluster_id"),
-            ),
-            reliable,
-        )
-        n_, o_ = new.alias("n"), labels.alias("o")
-        changed = (
-            n_.join(o_, F.col("n.doc_id") == F.col("o.doc_id"))
-            .where(F.col("n.cluster_id") < F.col("o.cluster_id"))  # labels only decrease
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    if changed != 0:
-        # The in-loop probe LAGS one round: it compares round r to round
-        # r-1, so labels that reach the fixpoint exactly on round
-        # max_rounds still show changed > 0. Run one extra changed-label
-        # probe on the FINAL labels before raising — a correct result must
-        # never be discarded as non-converged (ADVICE r3).
+    # Each pass probes the CURRENT labels directly (would any label still
+    # decrease? — nbr_min < cluster_id) BEFORE computing an update: the
+    # fixpoint is detected without paying a wasted update round, and no
+    # post-loop re-probe is needed (the older new-vs-old probe lagged a
+    # round, which required exactly that workaround — ADVICE r3). The
+    # loop runs max_rounds UPDATES plus one final probe after the last.
+    for round_no in range(max_rounds + 1):
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -857,14 +855,25 @@ def _cc_labels(
             .where(F.col("nbr_min") < F.col("cluster_id"))
             .count()
         )
-        if still != 0:
+        if still == 0:
+            return labels
+        if round_no == max_rounds:
             raise NonConvergenceError(
                 f"min-label propagation still changing {still} labels after "
                 f"{max_rounds} rounds — component diameter exceeds the budget; "
                 "raise max_rounds (or switch to large-star/small-star, which "
                 "converges in O(log n) rounds)"
             )
-    return labels
+        labels = _iter_checkpoint(
+            labels.join(nbr, labels.doc_id == nbr.src, "left").select(
+                labels.doc_id.alias("doc_id"),
+                F.least(
+                    labels.cluster_id, F.coalesce(nbr.nbr_min, labels.cluster_id)
+                ).alias("cluster_id"),
+            ),
+            reliable,
+        )
+    return labels  # unreachable; loop always returns or raises
 
 
 def dup_clusters(
@@ -1185,30 +1194,14 @@ def keep_best_in_cluster(
 
 
 def keep_best_in_cluster_sql(threshold: float = 0.5) -> str:
-    """Oracle: the dup_clusters recursive-CTE closure + doc_quality's
+    """Oracle: dup_clusters_sql's closure EMBEDDED as a subquery (one
+    source of truth for the transitive-closure definition) + doc_quality's
     score + a first_value window with the identical ordering."""
     from .textstats import doc_quality_sql
 
     return f"""
-    WITH RECURSIVE pairs AS ({minhash_lsh_sql(threshold)}),
-    edges AS (
-      SELECT doc_a AS s, doc_b AS d FROM pairs
-      UNION
-      SELECT doc_b AS s, doc_a AS d FROM pairs
-    ),
-    reach AS (
-      SELECT s, d FROM edges
-      UNION
-      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-    ),
-    labels AS (
-      SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
-    ),
-    sized AS (
-      SELECT l.doc_id, l.cluster_id, c.cluster_size
-      FROM labels l
-      JOIN (SELECT cluster_id, count(*) AS cluster_size
-            FROM labels GROUP BY 1) c USING (cluster_id)
+    WITH sized AS (
+      SELECT * FROM ({dup_clusters_sql(threshold)})
     ),
     q AS (SELECT doc_id, quality_score FROM ({doc_quality_sql()})),
     ranked AS (

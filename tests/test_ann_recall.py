@@ -167,6 +167,22 @@ def test_ngram_jaccard_strategies_agree(spark):
     assert (bm["doc_b"].to_numpy() == jn["doc_b"].to_numpy()).all()
     assert (bm["jaccard"].to_numpy() == jn["jaccard"].to_numpy()).all()
 
+    # threshold 0 boundary: the join strategy can only EMIT pairs that
+    # share >= 1 shingle; the bitmap kernel must not invent
+    # zero-intersection jaccard-0.0 pairs there (regression pin)
+    few = docs.filter("doc_id < 20")
+    bm0 = ngram_jaccard_pairs(few, threshold=0.0, strategy="bitmap").toPandas()
+    jn0 = ngram_jaccard_pairs(few, threshold=0.0, strategy="join").toPandas()
+    assert len(bm0) == len(jn0)
+    assert set(map(tuple, bm0[["doc_a", "doc_b"]].to_numpy())) == set(
+        map(tuple, jn0[["doc_a", "doc_b"]].to_numpy())
+    )
+
+    # unknown strategies fail loudly instead of silently running the
+    # quadratic shuffle the caller opted out of
+    with pytest.raises(ValueError, match="unknown strategy"):
+        ngram_jaccard_pairs(few, threshold=0.5, strategy="Bitmap")
+
 
 def test_lsh_neardup_pairs_recall_and_precision(spark, embeddings):
     """The banded-LSH pairs scale path vs the exact quadratic baseline at
