@@ -17,6 +17,35 @@ from ..model import FontModel
 from .extract import extract_spans
 
 
+def _epoch_ms_fn(session_tz: str):
+    """Event-time → UTC epoch-ms converter for the stateful operators
+    (ONE definition — stream_assemble and stream_dedup_neardup share the
+    tz contract). Arrow hands applyInPandasWithState timestamps in the
+    SESSION timezone while the GroupState APIs speak UTC epoch-ms;
+    .timestamp() on a naive value assumes UTC, so a non-UTC session
+    would shift every deadline by the tz delta. DST: an ambiguous local
+    hour resolves to the DST side, a nonexistent hour shifts forward —
+    the default `raise` would kill the whole query twice a year.
+    Callers filter NULL event times upstream (one bad row must not
+    poison the query); the assert here turns any slip into a clear
+    message instead of pandas' opaque NaT ValueError."""
+    import pandas as pd
+
+    def _epoch_ms(ts) -> int:
+        t = pd.Timestamp(ts)
+        assert not pd.isna(t), (
+            "null event time reached the stateful operator — upstream "
+            "must filter NULL timestamps"
+        )
+        if t.tzinfo is None:
+            t = t.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
+        return int(t.timestamp() * 1000)
+
+    return _epoch_ms
+
+
 def _idempotent_append(df: DataFrame, output_path: str, batch_id: int) -> None:
     """Replay-safe foreachBatch sink. The file-source checkpoint gives
     exactly-once PROGRESS, but a crash between a plain mode('append')
@@ -202,6 +231,10 @@ def stream_assemble(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
         .parquet(spans_path)
+        # a NULL event time would reach the stateful operator and kill
+        # the whole query (NaT has no epoch); drop such rows here — one
+        # bad upstream row must not poison continuous ingestion
+        .filter("committed_at IS NOT NULL")
         .withWatermark("committed_at", watermark_delay)
         .select("doc_id", "seq", "kind", "text", "offset", "committed_at")
     )
@@ -212,17 +245,7 @@ def stream_assemble(
         "texts array<string>, last_ms long"
     )
 
-    def _epoch_ms(ts) -> int:
-        t = pd.Timestamp(ts)
-        if t.tzinfo is None:
-            # DST transitions: a committed_at in an ambiguous local hour
-            # resolves to the DST side, one in a nonexistent hour shifts
-            # forward — the default `raise` would kill the whole query on
-            # any non-fixed-offset session tz twice a year.
-            t = t.tz_localize(
-                session_tz, ambiguous=True, nonexistent="shift_forward"
-            )
-        return int(t.timestamp() * 1000)
+    _epoch_ms = _epoch_ms_fn(session_tz)
 
     def assemble(key, pdfs, state):
         if state.hasTimedOut:
@@ -344,7 +367,12 @@ def stream_dedup_neardup(
     session_tz = spark.conf.get("spark.sql.session.timeZone")
     rows_per_band = N_MINHASH // N_BANDS
 
-    stream = spark.readStream.schema(schema).parquet(documents_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(documents_path)
+        # NULL event time would NaT-crash the stateful operator
+        .filter(f"{ts_col} IS NOT NULL")
+    )
 
     # narrow per-row shingling (dedup._shingles semantics, sans distinct —
     # min over a multiset equals min over its set). Project toks/shingles
@@ -399,8 +427,15 @@ def stream_dedup_neardup(
                     ),
                 ).otherwise(
                     # sub-n-token docs have no signature and never pair
-                    # (dedup.py:478-479): give them a never-colliding key
-                    F.concat_ws(":", F.lit("uniq"), F.col("doc_id"))
+                    # (dedup.py:478-479): key on (doc_id, ts) so the key
+                    # never collides — not even with the SAME doc_id
+                    # re-ingested later, which the batch path would also
+                    # keep (doc_id alone would self-suppress a re-crawl
+                    # of a short doc inside the horizon)
+                    F.concat_ws(
+                        ":", F.lit("uniq"), F.col("doc_id"),
+                        F.col("ts").cast("long").cast("string"),
+                    )
                 ).alias("sig"),
             )
             for b in range(N_BANDS)
@@ -409,19 +444,19 @@ def stream_dedup_neardup(
     bands = (
         sigs.select("doc_id", "text", "ts", F.explode(band_structs).alias("bs"))
         .select(
-            "doc_id", "text", "ts",
+            "doc_id",
+            # the full document text rides ONLY its band-0 row through
+            # the stateful shuffle — the other N_BANDS-1 rows carry a
+            # NULL and the sink reassembles with first(ignorenulls), so
+            # per-doc text bytes on the exchange stay 1x, not N_BANDS x
+            F.when(F.col("bs.band") == 0, F.col("text")).alias("text"),
+            "ts",
             F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
         )
         .withWatermark("ts", watermark_delay)
     )
 
-    def _epoch_ms(ts) -> int:
-        t = pd.Timestamp(ts)
-        if t.tzinfo is None:  # same tz contract as stream_assemble
-            t = t.tz_localize(
-                session_tz, ambiguous=True, nonexistent="shift_forward"
-            )
-        return int(t.timestamp() * 1000)
+    _epoch_ms = _epoch_ms_fn(session_tz)
 
     out_schema = "doc_id string, band int, text string, ts timestamp, novel boolean"
     state_schema = "last_ms long"
@@ -433,22 +468,31 @@ def stream_dedup_neardup(
         rows = pd.concat(list(pdfs), ignore_index=True)
         arr_ms = rows["ts"].map(_epoch_ms)
         prev_ms = state.get[0] if state.exists else None
-        # horizon-exact expiry: a claim older than the horizon in EVENT
-        # time no longer blocks, even if its eviction timeout hasn't fired
-        active = prev_ms is not None and int(arr_ms.min()) <= prev_ms + horizon_ms
-        novel_doc = None
-        if not active:
-            order = rows.assign(_ms=arr_ms).sort_values(["_ms", "doc_id"])
-            novel_doc = order.iloc[0]["doc_id"]
-        last_ms = max(int(arr_ms.max()), prev_ms or 0)
+        # horizon-exact expiry, WITHIN the batch as well as across
+        # batches: walk the bucket's rows in event-time order (doc_id
+        # tie-break), claiming every row that arrives more than the
+        # horizon after the latest arrival seen before it. An
+        # availableNow backfill that drains days of files into one
+        # micro-batch thereby re-emits past-horizon re-crawls exactly
+        # like the same files drained batch-by-batch would (the
+        # cross-batch contract the re-emission test pins).
+        novel = [False] * len(rows)
+        last_ms = prev_ms
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: (int(arr_ms.iloc[i]), rows["doc_id"].iloc[i]),
+        )
+        for i in order:
+            m = int(arr_ms.iloc[i])
+            if last_ms is None or m > last_ms + horizon_ms:
+                novel[i] = True
+            last_ms = m if last_ms is None else max(last_ms, m)
         state.update((last_ms,))
         state.setTimeoutTimestamp(
             max(last_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
         )
         out = rows[["doc_id", "band", "text", "ts"]].copy()
-        out["novel"] = (
-            (rows["doc_id"] == novel_doc) if novel_doc is not None else False
-        )
+        out["novel"] = novel
         yield out
 
     claimed = bands.groupBy("band", "sig").applyInPandasWithState(
@@ -465,13 +509,18 @@ def stream_dedup_neardup(
             .agg(
                 F.sum(F.when(F.col("novel"), 1).otherwise(0)).alias("n_novel"),
                 F.count("*").alias("n_bands"),
-                F.first("text").alias("text"),
+                # text rides band 0 only (NULL elsewhere)
+                F.first("text", ignorenulls=True).alias("text"),
                 F.first("ts").alias("ts"),
             )
             .filter(F.col("n_novel") == F.col("n_bands"))
             .select("doc_id", "text", "ts")
         )
-        kept.write.mode("append").parquet(output_path)
+        # replay-safe: a crash between a plain append and the checkpoint
+        # commit would re-append the batch on restart (the defect
+        # _idempotent_append exists for — same sink discipline as
+        # stream_extract / stream_web_extract)
+        _idempotent_append(kept, output_path, batch_id)
 
     writer = (
         claimed.writeStream.outputMode("append")

@@ -641,3 +641,34 @@ def test_stream_ingest_job_end_to_end(spark, tmp_path):
     assert run() == 2  # b suppressed; a + c admitted
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == ["a", "c"]
+
+
+def test_stream_dedup_neardup_reemits_past_horizon_same_batch(spark, tmp_path):
+    """The WITHIN-batch half of the horizon contract: an availableNow
+    backfill that drains both the original and its past-horizon re-crawl
+    in ONE micro-batch must re-emit the re-crawl exactly like the same
+    files drained batch-by-batch do (the claim walk applies the horizon
+    row-to-row inside the bucket, not only against stored state). A
+    third copy INSIDE the horizon of the re-crawl stays suppressed."""
+    import datetime
+
+    from newocr_spark.pipeline.streaming import stream_dedup_neardup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, ingested_at timestamp"
+    rows = [
+        ("a", NEARDUP_A, t0),
+        ("a2", NEARDUP_A, t0 + datetime.timedelta(minutes=5)),
+        ("a3", NEARDUP_A, t0 + datetime.timedelta(minutes=5, seconds=20)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = stream_dedup_neardup(
+        spark, src, out, ckpt,
+        watermark_delay="1 minutes", horizon="1 minutes",
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["a", "a2"]
